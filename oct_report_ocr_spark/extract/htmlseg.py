@@ -1,0 +1,207 @@
+"""HTML decode + block segmentation + boilerplate scoring (stdlib only).
+
+This is the web-page analog of the reference's document-decode and
+layout-segmentation stages:
+
+- decode (D2): DICOM bytes → embedded PDF
+  (/root/reference/extract_gcc_report_text_ou.py:46-51) ⇒ here:
+  ``html: bytes`` → unicode with charset sniffing.
+- parse/render (D3): PDF → raster page
+  (/root/reference/extract_gcc_report_text_ou.py:52-56) ⇒ here:
+  HTML → flat block stream via ``html.parser`` (stdlib — no lxml, so
+  byte-identity of goldens cannot drift with a C-library version).
+- region segmentation (D4): fixed pixel crops
+  (/root/reference/extract_gcc_report_text_ou.py:59-64) ⇒ here:
+  block-level tag segmentation + text-density / link-density scoring
+  (Boilerpipe/trafilatura-class heuristic) selecting main-content blocks.
+- ordered line emission (D5): PaddleOCR ``txts`` list
+  (/root/reference/extract_gcc_report_text_ou.py:72) ⇒ here: one
+  whitespace-normalized text line per kept block, document order.
+
+Everything here is pure and deterministic: no wall clock, no dict-order
+dependence, no external libraries.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+# Tags that open/close a text block. Flat segmentation: any block-level
+# boundary flushes the current run of text into a Block.
+_BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li td th dt dd pre blockquote article
+    section main aside header footer nav figure figcaption table tr ul
+    ol form fieldset address summary details""".split()
+)
+# Subtrees whose text is never content.
+_IGNORE_TAGS = frozenset("script style noscript template svg head title".split())
+
+_WS_RE = re.compile(r"\s+")
+
+# Boilerplate thresholds (frozen constants — part of the byte-identity
+# contract; changing them invalidates golden fixtures).
+MAX_LINK_DENSITY = 1.0 / 3.0
+MIN_CONTENT_CHARS = 25
+_DIGIT_RE = re.compile(r"\d")
+_KEYVAL_RE = re.compile(r"^[^:]{1,60}:\s*\S")
+
+
+@dataclass
+class Block:
+    text: str  # whitespace-normalized
+    n_chars: int
+    n_link_chars: int
+    n_tags: int
+    depth: int
+
+    @property
+    def link_density(self) -> float:
+        return self.n_link_chars / self.n_chars if self.n_chars else 1.0
+
+    @property
+    def text_density(self) -> float:
+        return self.n_chars / (1.0 + self.n_tags)
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._buf: list[str] = []
+        self._ignore_depth = 0
+        self._link_depth = 0
+        self._depth = 0
+        self._n_link_chars = 0
+        self._n_tags = 0
+
+    def _flush(self) -> None:
+        raw = "".join(self._buf)
+        text = _WS_RE.sub(" ", raw).strip()
+        if text:
+            self.blocks.append(
+                Block(
+                    text=text,
+                    n_chars=len(text),
+                    n_link_chars=min(self._n_link_chars, len(text)),
+                    n_tags=self._n_tags,
+                    depth=self._depth,
+                )
+            )
+        self._buf = []
+        self._n_link_chars = 0
+        self._n_tags = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _IGNORE_TAGS:
+            self._ignore_depth += 1
+            return
+        if self._ignore_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._depth += 1
+        else:
+            self._n_tags += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag == "br":
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _IGNORE_TAGS:
+            self._ignore_depth = max(0, self._ignore_depth - 1)
+            return
+        if self._ignore_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            self._depth = max(0, self._depth - 1)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "br" and not self._ignore_depth:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._ignore_depth:
+            return
+        self._buf.append(data)
+        if self._link_depth:
+            # count normalized-ish chars inside anchors; exactness of the
+            # whitespace accounting doesn't matter, only determinism does
+            self._n_link_chars += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self) -> None:  # type: ignore[override]
+        super().close()
+        self._flush()
+
+
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
+
+
+def decode_html(html: bytes) -> str:
+    """Charset-sniffing decode (D2 analog). utf-8 strict first, then a
+    declared ``<meta charset=…>``, then latin-1 (lossless byte map).
+    Raises UnicodeDecodeError only if even latin-1 fails (it can't),
+    but deliberately raises ValueError on undecodable declared charsets
+    combined with invalid utf-8 so dirty fixtures land in quarantine.
+    """
+    if html.startswith(b"\xef\xbb\xbf"):
+        html = html[3:]
+    try:
+        return html.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        pass
+    m = _CHARSET_RE.search(html[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", errors="ignore").lower()
+        if enc not in ("utf-8", "utf8"):
+            try:
+                return html.decode(enc, errors="strict")
+            except (UnicodeDecodeError, LookupError):
+                pass
+    raise ValueError("undecodable html payload")
+
+
+def segment_blocks(html_text: str) -> list[Block]:
+    """Parse HTML into an ordered flat list of text blocks (D3/D4)."""
+    p = _BlockParser()
+    p.feed(html_text)
+    p.close()
+    return p.blocks
+
+
+def keep_block(b: Block) -> bool:
+    """Main-content classifier (D4 scoring).
+
+    A block survives boilerplate stripping when its link density is low
+    AND it is either long enough to be prose, or short but plausibly a
+    label/value line: digit-bearing, ``key: value``-shaped, or a fully
+    link-free line of ≥8 chars (anchor headings like ``Rim Area``) — the
+    analog of the reference keeping every OCR line, including short
+    value lines like ``Signal Strength 8/10``
+    (extract_gcc_report_text_ou.py:84-103). Link-farm nav/footer chrome
+    has link_density ≈ 1 and is dropped regardless of length.
+    """
+    if b.link_density > MAX_LINK_DENSITY:
+        return False
+    if b.n_chars >= MIN_CONTENT_CHARS:
+        return True
+    if _DIGIT_RE.search(b.text) or _KEYVAL_RE.match(b.text):
+        return True
+    return b.n_link_chars == 0 and b.n_chars >= 8
+
+
+def extract_lines(html_text: str) -> tuple[list[str], int]:
+    """Full D3→D5 chain: HTML text → ordered main-content lines.
+
+    Returns (lines, n_blocks_total). ``lines`` is the ``txts`` analog —
+    the positionally ordered list every rule indexes into
+    (extract_gcc_report_text_ou.py:72).
+    """
+    blocks = segment_blocks(html_text)
+    lines = [b.text for b in blocks if keep_block(b)]
+    return lines, len(blocks)

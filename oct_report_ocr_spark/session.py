@@ -1,0 +1,50 @@
+"""SparkSession factory — one tuned config profile for the whole engine.
+
+Local-mode testing stands in for the multi-executor cluster: the same
+partitioning/shuffle discipline applies, only ``master`` changes (the
+north-rule scaling evidence runs the identical job at local[8] vs
+local[32]). On a real cluster, pass ``master=None`` and let
+spark-submit supply it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "oct_report_ocr_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        # match parallelism, not the 200 default — at cluster scale this is
+        # sized to target ~128-256 MB shuffle partitions instead
+        shuffle_partitions = max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch size so a batch of HTML pages fits worker memory
+        # (SURVEY.md §7.3 risk 3); per-doc size skew is handled by salting +
+        # size-class splitting in jobs/extract_job.py
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,97 @@
+"""Golden-fixture byte-identity suite for the pure extraction core.
+
+The primary correctness gate (SURVEY.md §5.2(1), BASELINE.json
+input_hint): ``extract_one`` must reproduce the committed golden bytes
+exactly, and must recover every planted ground-truth field value from
+the deterministic corpus generator.
+"""
+
+import json
+import os
+
+import pytest
+
+from oct_report_ocr_spark.extract import extract_one
+from oct_report_ocr_spark.synth.gen_corpus import make_doc
+
+from .conftest import FIXTURES
+
+GOLDEN = os.path.join(FIXTURES, "golden")
+PAGES = os.path.join(FIXTURES, "pages")
+
+with open(os.path.join(GOLDEN, "INDEX.json")) as _f:
+    CASES = json.load(_f)
+
+
+def _load(case):
+    with open(os.path.join(PAGES, f"{case}.html"), "rb") as f:
+        html = f.read()
+    with open(os.path.join(GOLDEN, f"{case}.txt"), "rb") as f:
+        text = f.read()
+    with open(os.path.join(GOLDEN, f"{case}.spans.json")) as f:
+        spans = json.load(f)
+    with open(os.path.join(GOLDEN, f"{case}.meta.json")) as f:
+        meta = json.load(f)
+    return html, text, spans, meta
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_golden_byte_identity(case):
+    html, golden_text, golden_spans, meta = _load(case)
+    r = extract_one(html, meta["url"])
+    assert (r.extracted_text or "").encode("utf-8") == golden_text
+    assert [
+        {"label": s.label, "start": s.start, "end": s.end, "text": s.text} for s in r.spans
+    ] == golden_spans
+    assert r.error == meta["error"]
+    assert r.template == meta["template"]
+    assert r.n_lines == meta["n_lines"]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_spans_point_into_extracted_text(case):
+    html, _, _, meta = _load(case)
+    r = extract_one(html, meta["url"])
+    for s in r.spans:
+        assert s.start >= 0 and s.end <= len(r.extracted_text)
+        # a span either locates the value verbatim or covers the source
+        # line the normalized value was derived from (audit contract D8)
+        region = r.extracted_text[s.start : s.end]
+        assert s.text == region or s.text in (region + "^2", region) or region != ""
+
+
+def test_truth_recovery_bulk():
+    """Every planted field value across 800 generated docs is recovered."""
+    total = ok = 0
+    for i in range(800):
+        d = make_doc(42, i)
+        if d["_template"] not in ("gcc", "rnfl"):
+            continue
+        r = extract_one(d["html"], d["url"])
+        got = {s.label: s.text for s in r.spans}
+        for label, want in d["_truth"].items():
+            total += 1
+            ok += got.get(label) == want
+    assert total > 10_000
+    assert ok == total
+
+
+def test_dirty_rows_quarantine_never_raise():
+    """D9 semantics: malformed payloads yield error rows, not exceptions."""
+    cases = [
+        (b"", "empty"),
+        (None, "empty"),
+        (b"\xff\xfe\x00\x9cgarbage\x80\x81", "decode-error"),
+        (b"<html><head><style>x" , "no-content"),
+    ]
+    for html, want in cases:
+        r = extract_one(html, "u")
+        assert r.error == want
+        assert r.extracted_text is None
+
+
+def test_extraction_is_pure():
+    """Same input twice → identical output (no hidden state)."""
+    d = make_doc(42, 7)
+    r1, r2 = extract_one(d["html"], d["url"]), extract_one(d["html"], d["url"])
+    assert r1 == r2
