@@ -1,0 +1,195 @@
+"""The flagship extraction job: documents table → extracted table.
+
+Spark re-expression of the reference's driver scripts
+(/root/reference/extract_onh_rnfl_report_text_ou.py lifecycle traced in
+SURVEY.md §3.1), designed for 10¹²-row tables:
+
+1. **Scan** with the routing predicate pushed to the parquet reader
+   (the ``DocumentTitle like`` analog is ``lang = 'en'``; S2/D1). The
+   ``html`` binary column is never read by resume/manifest passes —
+   Catalyst prunes it.
+2. **Size-class split** (SURVEY.md §7.3 risk 3): pages above
+   ``LARGE_HTML_BYTES`` go through their own, wider repartition so a
+   run of huge pages can't concentrate in one Arrow batch/partition;
+   both classes run the identical UDF, so the split is invisible in
+   the output.
+3. **Salted repartition** by ``pmod(xxhash64(url), buckets)`` — defeats
+   host-level clustering of page sizes (crawls store same-site pages
+   adjacently; url-hash scatters them).
+4. **mapInArrow** extraction (jobs/extract_udf.py) — the only Python
+   stage; everything around it is whole-stage-codegen JVM.
+5. **Idempotent partitioned write + manifest commit** (D10): output is
+   partitioned by bucket; a bucket is *completed* only when its row
+   appears in the manifest table, which is written strictly after the
+   data. Restart = anti-join pending buckets against the manifest and
+   dynamic-partition-overwrite them — duplicates impossible, gaps
+   impossible (the reference's CSV file-exists resume,
+   extract_onh_rnfl_report_text_ou.py:64,308-310, made atomic).
+6. **Lineage/metrics** (D8/D11): the manifest row carries per-bucket
+   doc counts, ok/failed, byte totals and an order-insensitive content
+   checksum, computed by re-reading the *written* files (verifying
+   readability, not just write success).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oct_report_ocr_spark.jobs.extract_udf import OUTPUT_DDL, extract_batches
+
+LARGE_HTML_BYTES = 256 * 1024
+INPUT_COLS = ("url", "warc_ts", "html")
+
+
+def extract_df(
+    docs: DataFrame,
+    buckets: int = 64,
+    lang: str | None = "en",
+    exclude_buckets: list[int] | None = None,
+) -> DataFrame:
+    """The logical extraction plan (no sink). Returns one row per input
+    document with columns OUTPUT_DDL + ``bucket``.
+
+    ``exclude_buckets`` (resume) is applied *before* the UDF, on the
+    scan side, so completed buckets cost a hash+filter in codegen, not
+    an extraction — and never cross into the Python worker.
+    """
+    df = docs
+    if lang is not None and "lang" in df.columns:
+        df = df.filter(F.col("lang") == lang)
+    bucket = F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int")
+    df = df.select(*INPUT_COLS).withColumn("bucket", bucket)
+    if exclude_buckets:
+        df = df.filter(~F.col("bucket").isin(exclude_buckets))
+
+    small = (
+        df.filter(F.length("html") <= LARGE_HTML_BYTES)
+        .repartition(buckets, F.col("bucket"))
+        .select(*INPUT_COLS)
+        .mapInArrow(extract_batches, schema=OUTPUT_DDL)
+    )
+    # huge pages: same UDF, but scattered over 4× the partitions so one
+    # partition never holds more than a handful of multi-MB payloads
+    large = (
+        df.filter(F.length("html") > LARGE_HTML_BYTES)
+        .repartition(buckets * 4, F.col("url"))
+        .select(*INPUT_COLS)
+        .mapInArrow(extract_batches, schema=OUTPUT_DDL)
+    )
+    out = small.unionByName(large)
+    # recompute the bucket for the sink partitioning (cheap codegen hash)
+    return out.withColumn("bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int"))
+
+
+def _manifest_rows(extracted_files: DataFrame) -> DataFrame:
+    """Per-bucket lineage/metrics aggregate over (re-read) output rows."""
+    return extracted_files.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_failed"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.coalesce(F.octet_length("extracted_text"), F.lit(0))).alias("n_text_bytes"),
+        # order-insensitive content checksum: sum of per-row 64-bit hashes,
+        # accumulated in decimal(38,0) so ANSI mode can't overflow
+        F.sum(F.xxhash64("url", "extracted_text", "error").cast("decimal(38,0)")).alias(
+            "content_checksum"
+        ),
+        F.sum("n_spans").alias("n_spans"),
+    )
+
+
+def completed_buckets(spark: SparkSession, output: str) -> list[int]:
+    manifest_path = os.path.join(output, "_manifests")
+    try:
+        m = spark.read.parquet(manifest_path)
+    except Exception:  # noqa: BLE001 — first run: no manifest yet
+        return []
+    return [r.bucket for r in m.select("bucket").distinct().collect()]
+
+
+def run(
+    spark: SparkSession,
+    input_path: str,
+    output: str,
+    buckets: int = 64,
+    lang: str | None = "en",
+    fresh: bool = False,
+) -> dict:
+    """Run (or resume) the extraction job. Returns run metrics."""
+    data_path = os.path.join(output, "extracted")
+    manifest_path = os.path.join(output, "_manifests")
+    if fresh and os.path.isdir(output):
+        import shutil
+
+        shutil.rmtree(output)
+
+    done = [] if fresh else completed_buckets(spark, output)
+
+    docs = spark.read.parquet(input_path)
+    plan = extract_df(docs, buckets=buckets, lang=lang, exclude_buckets=done)
+
+    # dynamic overwrite: a retried pending bucket replaces its partial
+    # files instead of appending duplicates (idempotent re-run)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    plan.write.partitionBy("bucket").mode("overwrite").parquet(data_path)
+
+    # manifest commit AFTER data: re-read what was actually written
+    written = spark.read.parquet(data_path)
+    pending = written if not done else written.filter(~F.col("bucket").isin(done))
+    manifest = _manifest_rows(pending)
+    manifest.write.mode("append").parquet(manifest_path)
+
+    all_manifest = spark.read.parquet(manifest_path)
+    totals = all_manifest.agg(
+        F.sum("n_rows").alias("rows"),
+        F.sum("n_ok").alias("ok"),
+        F.sum("n_failed").alias("failed"),
+        F.countDistinct("bucket").alias("buckets_done"),
+    ).collect()[0]
+    return {
+        "rows": totals.rows,
+        "ok": totals.ok,
+        "failed": totals.failed,
+        "buckets_done": totals.buckets_done,
+        "resumed_buckets_skipped": len(done),
+        "output": data_path,
+    }
+
+
+def quarantine(spark: SparkSession, output: str) -> DataFrame:
+    """The D9 quarantine view: rows that failed extraction."""
+    return spark.read.parquet(os.path.join(output, "extracted")).filter(
+        F.col("error").isNotNull()
+    )
+
+
+def main() -> None:
+    import argparse
+
+    from oct_report_ocr_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="extract_job", cores=args.cores)
+    stats = run(
+        spark,
+        args.input,
+        args.output,
+        buckets=args.buckets,
+        lang=args.lang or None,
+        fresh=args.fresh,
+    )
+    print(stats)
+
+
+if __name__ == "__main__":
+    main()

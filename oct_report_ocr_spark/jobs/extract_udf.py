@@ -1,0 +1,100 @@
+"""Arrow-vectorized extraction UDF (the engine's single Python hot path).
+
+Wraps the pure ``extract_one`` core in a ``mapInArrow`` batch function.
+This is the Spark re-expression of the reference's per-document loop
+body (/root/reference/extract_gcc_report_text_ou.py:40-144) with the
+two structural fixes SURVEY.md §4 calls out:
+
+- the reference re-instantiates its OCR model per document
+  (extract_gcc_report_text_ou.py:69); here all parse tables / regex
+  programs are module-level — compiled once per Python worker process
+  and amortized over every batch that worker handles.
+- the reference is sequential; here parallelism comes from Spark task
+  scheduling over salted partitions, and the UDF itself stays
+  order-independent (no state crosses batch or partition boundaries),
+  so output bytes are invariant to partitioning (SURVEY.md §5.2(3)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from oct_report_ocr_spark.extract import extract_one
+
+SPAN_TYPE = pa.struct(
+    [
+        pa.field("label", pa.string()),
+        pa.field("start", pa.int32()),
+        pa.field("end", pa.int32()),
+        pa.field("text", pa.string()),
+    ]
+)
+
+OUTPUT_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("extracted_text", pa.string()),
+        pa.field("spans", pa.list_(SPAN_TYPE)),
+        pa.field("template", pa.string()),
+        pa.field("n_blocks", pa.int32()),
+        pa.field("n_lines", pa.int32()),
+        pa.field("n_spans", pa.int32()),
+        pa.field("error", pa.string()),
+    ]
+)
+
+# Spark-side DDL mirror of OUTPUT_SCHEMA (keep in sync)
+OUTPUT_DDL = (
+    "url string, warc_ts timestamp, extracted_text string, "
+    "spans array<struct<label:string,start:int,end:int,text:string>>, "
+    "template string, n_blocks int, n_lines int, n_spans int, error string"
+)
+
+
+def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    ts = batch.column("warc_ts")
+
+    texts: list[str | None] = []
+    spans: list[list[dict] | None] = []
+    templates: list[str] = []
+    n_blocks: list[int] = []
+    n_lines: list[int] = []
+    n_spans: list[int] = []
+    errors: list[str | None] = []
+    for url, html in zip(urls, htmls):
+        r = extract_one(html, url)
+        texts.append(r.extracted_text)
+        spans.append(
+            [{"label": s.label, "start": s.start, "end": s.end, "text": s.text} for s in r.spans]
+        )
+        templates.append(r.template)
+        n_blocks.append(r.n_blocks)
+        n_lines.append(r.n_lines)
+        n_spans.append(len(r.spans))
+        errors.append(r.error)
+
+    return pa.record_batch(
+        [
+            pa.array(urls, pa.string()),
+            ts.cast(pa.timestamp("us", tz="UTC")),
+            pa.array(texts, pa.string()),
+            pa.array(spans, pa.list_(SPAN_TYPE)),
+            pa.array(templates, pa.string()),
+            pa.array(n_blocks, pa.int32()),
+            pa.array(n_lines, pa.int32()),
+            pa.array(n_spans, pa.int32()),
+            pa.array(errors, pa.string()),
+        ],
+        schema=OUTPUT_SCHEMA,
+    )
+
+
+def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow entry point: (url, warc_ts, html) batches → extracted rows."""
+    for batch in batches:
+        yield extract_record_batch(batch)
