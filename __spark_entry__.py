@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline end-to-end on
+the deterministic sf0.001 synthetic corpus (generated on first use —
+the binary-html analog of /root/testdata/sf0.001/documents.parquet per
+FIXTURES.md §1). ``queries()``/``oracle_sql()`` expose the relational
+operator library (SURVEY.md §2) for the DuckDB parity gate.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: salted-repartition mapInArrow extraction over the
+    sf0.001 web-page corpus — extracted text + span counts for every
+    English document (one row per url, quarantine rows included with
+    ``error`` set)."""
+    from oct_report_ocr_spark.jobs.extract_job import extract_df
+    from oct_report_ocr_spark.synth.gen_corpus import ensure_corpus
+
+    corpus = ensure_corpus(os.path.join(_REPO, ".cache"), 0.001)
+    docs = spark.read.parquet(corpus)
+    out = extract_df(docs, buckets=16, lang="en")
+    return out.select(
+        "url", "warc_ts", "extracted_text", "template", "n_lines", "n_spans", "error"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from oct_report_ocr_spark.operators import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from oct_report_ocr_spark.operators import all_queries
+
+    return {name: sql for name, (_fn, sql) in all_queries().items() if sql is not None}
