@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline and an LSH
+(random-hyperplane) bucketing as the scale path — both as native array
+expressions with sequential-fold arithmetic so Spark and DuckDB produce
+bit-identical doubles.
+
+Scale notes: brute-force is a broadcast of the query vector over a
+map-only scan (linear, embarrassingly parallel — fine for one query,
+wrong for batch kNN); the LSH variant buckets vectors once (map-only)
+so batch queries become an equi-join on the bucket key instead of a
+full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import load
+
+DIM = 64
+N_PLANES = 8
+
+
+def _fold_sum(arr):
+    """Sequential left fold — matches DuckDB list_reduce order exactly."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_ann_cosine_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine similarity of every vector against the query
+    vector (vec_id = 0), exact doubles, rounded 6. The baseline ANN
+    path: broadcast query × map-only scan."""
+    e = load(spark, sf, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    joined = vecs.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = _fold_sum(F.zip_with("v", "qv", lambda x, y: x * y))
+    nv = F.sqrt(_fold_sum(F.transform("v", lambda x: x * x)))
+    nq = F.sqrt(_fold_sum(F.transform("qv", lambda x: x * x)))
+    return joined.select(
+        "vec_id", F.round(dot / (nv * nq), 6).alias("cos_sim")
+    )
+
+
+SQL_ANN_COSINE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(
+         list_reduce(list_transform(range(1, 65), i -> v[i] * qv[i]), (a,b) -> a + b)
+         / (sqrt(list_reduce(list_transform(v, x -> x * x), (a,b) -> a + b))
+            * sqrt(list_reduce(list_transform(qv, x -> x * x), (a,b) -> a + b))), 6) AS cos_sim
+FROM v, q WHERE vec_id <> 0
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 nearest to the query vector, deterministically tie-broken
+    on vec_id (ORDER BY cos_sim DESC, vec_id LIMIT 10)."""
+    sims = q_ann_cosine_bruteforce(spark, sf)
+    return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+SQL_ANN_TOPK = SQL_ANN_COSINE.rstrip() + "\nORDER BY cos_sim DESC, vec_id LIMIT 10"
+
+
+def _plane_weight(p: int, d: int) -> int:
+    """Deterministic integer hyperplane weights in [-3, 3] — identical
+    constant table in both engines (no RNG, no floats)."""
+    return ((p * 31 + d * 17) % 7) - 3
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8 sign bits of integer-weighted
+    projections → one bucket id per vector. The scale path for batch
+    kNN: bucket once (map-only), then candidate search is an equi-join
+    on the bucket key."""
+    e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    bucket = F.lit(0)
+    for p in range(N_PLANES):
+        warr = F.array(*[F.lit(float(_plane_weight(p, d))) for d in range(DIM)])
+        proj = _fold_sum(
+            F.zip_with(v, warr, lambda x, w: x * w)
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return e.select("vec_id", bucket.cast("long").alias("bucket"))
+
+
+def _lsh_sql() -> str:
+    terms = []
+    for p in range(N_PLANES):
+        weights = ", ".join(str(float(_plane_weight(p, d))) for d in range(DIM))
+        terms.append(
+            f"(CASE WHEN list_reduce(list_transform(range(1, {DIM + 1}), "
+            f"i -> v[i] * ([{weights}])[i]), (a,b) -> a + b) >= 0 "
+            f"THEN {2**p} ELSE 0 END)"
+        )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, CAST({" + ".join(terms)} AS BIGINT) AS bucket FROM v
+"""
+
+
+SQL_ANN_LSH_BUCKET = _lsh_sql()
+
+
+def q_embedding_positional(spark: SparkSession, sf: str) -> DataFrame:
+    """ArrayType positional ops — element_at / size (F3/F7 analog:
+    positional slot reads, extract_gcc_report_text_ou.py:105-136)."""
+    e = load(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("e_first"),
+        F.round(F.element_at(v, DIM), 6).alias("e_last"),
+        F.round(F.array_max(v), 6).alias("e_max"),
+    )
+
+
+SQL_EMBEDDING_POSITIONAL = f"""
+WITH v AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS dv FROM embeddings)
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(dv[1], 6) AS e_first,
+       ROUND(dv[{DIM}], 6) AS e_last,
+       ROUND(list_max(dv), 6) AS e_max
+FROM v
+"""
+
+
+QUERIES: dict = {
+    "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),
+    "embedding_positional": (q_embedding_positional, SQL_EMBEDDING_POSITIONAL),
+}
