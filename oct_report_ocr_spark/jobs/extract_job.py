@@ -65,21 +65,24 @@ def extract_df(
     if exclude_buckets:
         df = df.filter(~F.col("bucket").isin(exclude_buckets))
 
-    small = (
-        df.filter(F.length("html") <= LARGE_HTML_BYTES)
-        .repartition(buckets, F.col("bucket"))
+    # SINGLE scan + SINGLE shuffle: huge pages (~0.5%) get their own
+    # url-scattered key range ABOVE the normal buckets, so a run of
+    # multi-MB payloads can't bloat a small-class Arrow batch, while the
+    # plan stays one exchange (a two-branch filter+union would scan the
+    # input twice — measured 2× the scan CPU at sf0.1)
+    n_large_keys = max(buckets // 4, 8)
+    part_key = (
+        F.when(
+            F.length("html") > LARGE_HTML_BYTES,
+            F.lit(buckets) + F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_large_keys)).cast("int"),
+        )
+        .otherwise(F.col("bucket"))
+    )
+    out = (
+        df.repartition(buckets + n_large_keys, part_key)
         .select(*INPUT_COLS)
         .mapInArrow(extract_batches, schema=OUTPUT_DDL)
     )
-    # huge pages: same UDF, but scattered over 4× the partitions so one
-    # partition never holds more than a handful of multi-MB payloads
-    large = (
-        df.filter(F.length("html") > LARGE_HTML_BYTES)
-        .repartition(buckets * 4, F.col("url"))
-        .select(*INPUT_COLS)
-        .mapInArrow(extract_batches, schema=OUTPUT_DDL)
-    )
-    out = small.unionByName(large)
     # recompute the bucket for the sink partitioning (cheap codegen hash)
     return out.withColumn("bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int"))
 

@@ -57,33 +57,54 @@ OUTPUT_DDL = (
 def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
-    ts = batch.column("warc_ts")
 
     texts: list[str | None] = []
-    spans: list[list[dict] | None] = []
     templates: list[str] = []
     n_blocks: list[int] = []
     n_lines: list[int] = []
     n_spans: list[int] = []
     errors: list[str | None] = []
+    # spans build as flat columns + offsets (ListArray.from_arrays) —
+    # an order of magnitude cheaper than list-of-dict conversion
+    sp_label: list[str] = []
+    sp_start: list[int] = []
+    sp_end: list[int] = []
+    sp_text: list[str] = []
+    sp_offsets: list[int] = [0]
+
     for url, html in zip(urls, htmls):
         r = extract_one(html, url)
         texts.append(r.extracted_text)
-        spans.append(
-            [{"label": s.label, "start": s.start, "end": s.end, "text": s.text} for s in r.spans]
-        )
         templates.append(r.template)
         n_blocks.append(r.n_blocks)
         n_lines.append(r.n_lines)
         n_spans.append(len(r.spans))
         errors.append(r.error)
+        for s in r.spans:
+            sp_label.append(s.label)
+            sp_start.append(s.start)
+            sp_end.append(s.end)
+            sp_text.append(s.text)
+        sp_offsets.append(len(sp_label))
 
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(sp_offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(sp_label, pa.string()),
+                pa.array(sp_start, pa.int32()),
+                pa.array(sp_end, pa.int32()),
+                pa.array(sp_text, pa.string()),
+            ],
+            fields=list(SPAN_TYPE),
+        ),
+    )
     return pa.record_batch(
         [
-            pa.array(urls, pa.string()),
-            ts.cast(pa.timestamp("us", tz="UTC")),
+            batch.column("url"),  # zero-copy passthrough
+            batch.column("warc_ts").cast(pa.timestamp("us", tz="UTC")),
             pa.array(texts, pa.string()),
-            pa.array(spans, pa.list_(SPAN_TYPE)),
+            spans_arr,
             pa.array(templates, pa.string()),
             pa.array(n_blocks, pa.int32()),
             pa.array(n_lines, pa.int32()),

@@ -95,3 +95,29 @@ def test_extraction_is_pure():
     d = make_doc(42, 7)
     r1, r2 = extract_one(d["html"], d["url"]), extract_one(d["html"], d["url"])
     assert r1 == r2
+
+
+def test_turbo_scanner_matches_htmlparser_reference():
+    """The C-regex turbo segmenter must agree with the HTMLParser-based
+    reference path on every keep-relevant field, across the corpus
+    (including dirty/huge docs). The HTMLParser path is the arbiter."""
+    from oct_report_ocr_spark.extract import htmlseg
+
+    checked = 0
+    for i in range(1500):
+        d = make_doc(42, i)
+        if d["_template"] in ("dirty-empty", "dirty-utf8"):
+            continue
+        try:
+            text = htmlseg.decode_html(d["html"])
+        except (ValueError, UnicodeDecodeError):
+            continue
+        ref = htmlseg.segment_blocks(text)
+        turbo = htmlseg.segment_blocks_turbo(text)
+        assert [
+            (b.text, b.n_chars, b.n_link_chars, htmlseg.keep_block(b)) for b in ref
+        ] == [
+            (b.text, b.n_chars, b.n_link_chars, htmlseg.keep_block(b)) for b in turbo
+        ], d["url"]
+        checked += 1
+    assert checked > 1000
