@@ -1,0 +1,75 @@
+"""Plan-quality gates (SURVEY.md §4): the properties that matter at
+100 TB are asserted mechanically, not eyeballed."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from oct_report_ocr_spark.jobs.extract_job import extract_df
+from oct_report_ocr_spark.operators import relational
+from oct_report_ocr_spark.plans.report import formatted, plan_checks
+from oct_report_ocr_spark.synth.gen_corpus import ensure_corpus
+
+from .conftest import CACHE, SF_SMOKE
+
+
+def test_extraction_plan_single_exchange_and_pushdown(spark):
+    """One shuffle (the salt repartition) and the lang filter at the
+    scan — re-reading or double-shuffling the html payload is the
+    100 TB killer."""
+    corpus = ensure_corpus(CACHE, 0.001)
+    plan = extract_df(spark.read.parquet(corpus), buckets=16)
+    c = plan_checks(plan)
+    assert c["n_exchanges"] == 1, c
+    assert any("lang" in pf for pf in c["pushed_filters"]), c
+
+
+def test_relational_scan_prunes_columns(spark):
+    """A 2-column projection must not read the whole documents table."""
+    df = relational.q_filtered_scan(spark, SF_SMOKE)
+    schemas = plan_checks(df)["read_schemas"]
+    assert schemas and all("text" in s for s in schemas)  # filter col read
+    # the wide 'source'/'n_chars' are selected; 'lang' is pushed+read;
+    # nothing else exists in this table, so just assert pushdown happened
+    assert any("lang" in pf for pf in plan_checks(df)["pushed_filters"])
+
+
+def test_dim_join_uses_broadcast(spark):
+    """Small dims must broadcast — a sort-merge join on region/nation
+    at 100 TB shuffles the fact table for nothing."""
+    c = plan_checks(relational.q_dim_join_agg(spark, SF_SMOKE))
+    assert c["n_broadcast_joins"] >= 3, c
+    assert c["n_sortmerge_joins"] == 0, c
+
+
+def test_codegen_covers_relational_plan(spark):
+    """Whole-stage codegen spans exist (JVM-side execution, no Python
+    in the relational path). AQE reveals them only post-execution."""
+    from oct_report_ocr_spark.plans.report import codegen_spans_executed
+
+    assert codegen_spans_executed(relational.q_conditional_agg(spark, SF_SMOKE)) >= 1
+
+
+def test_no_python_udfs_in_registered_queries(spark):
+    """input_hint mandate: no per-row Python in any registered query —
+    plans must be free of BatchEvalPython/PythonUDF nodes."""
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        p = formatted(fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+
+
+def test_extraction_resume_filter_reaches_scan(spark):
+    """Resume (exclude_buckets) must prune before the Python stage."""
+    corpus = ensure_corpus(CACHE, 0.001)
+    plan = extract_df(spark.read.parquet(corpus), buckets=16, exclude_buckets=[0, 1])
+    p = formatted(plan)
+    # the bucket-exclusion predicate must sit in the scan-side Filter
+    # (node 2, directly above the parquet scan), not after MapInArrow
+    m = __import__("re").search(r"NOT cast\(pmod\(xxhash64\(url[^\n]*IN \(0,1\)", p)
+    assert m, p[:2000]
+    # node (2) is the Filter directly above the scan (node 1); the
+    # exclusion predicate must appear in ITS condition details
+    assert m.start() > p.index("(2) Filter"), p[:2000]
