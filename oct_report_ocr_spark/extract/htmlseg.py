@@ -161,6 +161,14 @@ _DECL_RE = re.compile(r"<[!?][^>]*(?:>|$)", re.S)
 _IGNORE_RE = re.compile(
     rf"<({_IGNORE_ALT})\b[^>]*>.*?(?:</\1[^>]*>|$)", re.S | re.I
 )
+# fused single-pass form of comment → ignore-subtree → declaration
+# removal (one full-text copy instead of three); alternation order
+# mirrors the sequential passes: comments first, so `<!--` never parses
+# as a declaration
+_STRIP_RE = re.compile(
+    rf"<!--.*?(?:-->|$)|<({_IGNORE_ALT})\b[^>]*>.*?(?:</\1[^>]*>|$)|<[!?][^>]*(?:>|$)",
+    re.S | re.I,
+)
 _BLOCK_SPLIT_RE = re.compile(rf"</?(?:{_BLOCK_ALT})\b[^>]*>|<br\b[^>]*>", re.I)
 _A_RE = re.compile(r"<a\b[^>]*>(.*?)(?:</a\b[^>]*>|$)", re.S | re.I)
 _TAGSTRIP_RE = re.compile(r"<[a-zA-Z/][^>]*>")
@@ -169,9 +177,7 @@ _TAGSTRIP_RE = re.compile(r"<[a-zA-Z/][^>]*>")
 def segment_blocks_turbo(html_text: str) -> list[Block]:
     """C-regex equivalent of ``segment_blocks`` for the fields the
     boilerplate scorer consumes; n_tags/depth are not computed (0)."""
-    text = _COMMENT_RE.sub("", html_text)
-    text = _IGNORE_RE.sub("", text)
-    text = _DECL_RE.sub("", text)
+    text = _STRIP_RE.sub("", html_text)
     blocks: list[Block] = []
     for chunk in _BLOCK_SPLIT_RE.split(text):
         if not chunk:
