@@ -31,4 +31,10 @@ def all_queries() -> dict:
         out.update(similarity.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import extra
+
+        out.update(extra.QUERIES)
+    except ImportError:
+        pass
     return out

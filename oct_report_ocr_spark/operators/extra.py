@@ -1,0 +1,321 @@
+"""Remaining SURVEY.md §2 operators + webtext pipeline extras, each
+with a DuckDB oracle (same determinism rules as relational.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import load
+from .textops import _occ, _occ_sql
+
+# --------------------------------------------------------------------------
+# U1 literal form — multi-branch UNION ALL classifier (utils.py:509-625).
+# relational.q_like_chain_classifier is the optimized single-pass CASE;
+# this is the reference's literal shape (4 scans stacked), kept to show
+# both and to let the bench compare their plans.
+# --------------------------------------------------------------------------
+
+
+def q_union_multibranch(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    t = F.lower(F.col("p_type"))
+    b1 = p.filter(t.like("%promo%")).select("p_partkey", F.lit("promotional").alias("category"))
+    b2 = p.filter(~t.like("%promo%") & t.like("%econo%")).select(
+        "p_partkey", F.lit("economy").alias("category")
+    )
+    b3 = p.filter(
+        ~t.like("%promo%") & ~t.like("%econo%") & (t.like("%standard%") | t.like("%medium%"))
+    ).select("p_partkey", F.lit("mainline").alias("category"))
+    b4 = p.filter(
+        ~t.like("%promo%")
+        & ~t.like("%econo%")
+        & ~(t.like("%standard%") | t.like("%medium%"))
+    ).select("p_partkey", F.lit("other").alias("category"))
+    return b1.unionByName(b2).unionByName(b3).unionByName(b4)
+
+
+SQL_UNION_MULTIBRANCH = """
+SELECT p_partkey, 'promotional' AS category FROM part WHERE lower(p_type) LIKE '%promo%'
+UNION ALL
+SELECT p_partkey, 'economy' FROM part
+WHERE lower(p_type) NOT LIKE '%promo%' AND lower(p_type) LIKE '%econo%'
+UNION ALL
+SELECT p_partkey, 'mainline' FROM part
+WHERE lower(p_type) NOT LIKE '%promo%' AND lower(p_type) NOT LIKE '%econo%'
+  AND (lower(p_type) LIKE '%standard%' OR lower(p_type) LIKE '%medium%')
+UNION ALL
+SELECT p_partkey, 'other' FROM part
+WHERE lower(p_type) NOT LIKE '%promo%' AND lower(p_type) NOT LIKE '%econo%'
+  AND NOT (lower(p_type) LIKE '%standard%' OR lower(p_type) LIKE '%medium%')
+"""
+
+
+# --------------------------------------------------------------------------
+# J8/U3 — join on a 2-col key after a union (utils.py:948-960)
+# --------------------------------------------------------------------------
+
+
+def q_union_then_join(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    small = p.filter(F.col("p_size") < 25).select(
+        "p_partkey", F.lit("small").alias("size_class")
+    )
+    big = p.filter(F.col("p_size") >= 25).select(
+        "p_partkey", F.lit("big").alias("size_class")
+    )
+    classes = small.unionByName(big).withColumn("p_partkey2", F.col("p_partkey"))
+    li = load(spark, sf, "lineitem").withColumn("p_partkey2", F.col("l_partkey"))
+    joined = li.join(classes, (li.l_partkey == classes.p_partkey) & (li.p_partkey2 == classes.p_partkey2))
+    return joined.groupBy("size_class").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+    )
+
+
+SQL_UNION_THEN_JOIN = """
+WITH classes AS (
+  SELECT p_partkey, 'small' AS size_class, p_partkey AS p_partkey2 FROM part WHERE p_size < 25
+  UNION ALL
+  SELECT p_partkey, 'big', p_partkey FROM part WHERE p_size >= 25
+)
+SELECT size_class, COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem JOIN classes ON l_partkey = p_partkey AND l_partkey = p_partkey2
+GROUP BY size_class
+"""
+
+
+# --------------------------------------------------------------------------
+# P7 — boolean-mask filter keeping NULLs (utils.py:1295)
+# --------------------------------------------------------------------------
+
+
+def q_null_safe_filter(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    k = F.regexp_extract("props", r"\d+", 0).try_cast("long")
+    with_k = ev.select("event_id", k.alias("k"))
+    # keep rows where k >= 50 OR k IS NULL — the "drop bad rows but keep
+    # missing" mask from the reference's medication prefilter
+    return with_k.filter((F.col("k") >= 50) | F.col("k").isNull())
+
+
+SQL_NULL_SAFE_FILTER = """
+WITH t AS (SELECT event_id, TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events)
+SELECT event_id, k FROM t WHERE k >= 50 OR k IS NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# F14 — medication laterality with the reference's operator-precedence
+# quirk preserved (utils.py:1265-1285): the Python line
+#     leftcount == rightcount & leftcount > 0
+# parses as the CHAINED comparison
+#     (leftcount == (rightcount & leftcount)) AND ((rightcount & leftcount) > 0)
+# because & binds tighter than ==. We reproduce exactly that, in both
+# engines, with explicit parentheses (SURVEY.md §7.3 risk 1).
+# --------------------------------------------------------------------------
+
+
+def q_medlat_quirk(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    marker = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" apply to both eyes"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" left eye drop"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" right eye drop"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" left eye and right eye"))
+        .otherwise(F.lit(""))
+    )
+    note = F.lower(F.concat(F.col("text"), marker))
+    left, right = _occ(note, "left eye"), _occ(note, "right eye")
+    band = right.bitwiseAND(left)
+    medlat = (
+        F.when(note.contains("both"), F.lit(2))
+        .when(left > right, F.lit(1))
+        .when(right > left, F.lit(0))
+        .when((left == band) & (band > 0), F.lit(2))  # the quirk, verbatim
+        .otherwise(F.lit(None))
+        .cast("long")
+    )
+    return d.select("doc_id", medlat.alias("medlat"))
+
+
+SQL_MEDLAT_QUIRK = f"""
+WITH n AS (
+  SELECT doc_id,
+         lower(text || CASE WHEN doc_id % 5 = 0 THEN ' apply to both eyes'
+                            WHEN doc_id % 5 = 1 THEN ' left eye drop'
+                            WHEN doc_id % 5 = 2 THEN ' right eye drop'
+                            WHEN doc_id % 5 = 3 THEN ' left eye and right eye'
+                            ELSE '' END) AS note
+  FROM documents
+), c AS (
+  SELECT doc_id, note,
+         {_occ_sql('note', 'left eye')} AS l,
+         {_occ_sql('note', 'right eye')} AS r
+  FROM n
+)
+SELECT doc_id,
+       CAST(CASE WHEN contains(note, 'both') THEN 2
+                 WHEN l > r THEN 1
+                 WHEN r > l THEN 0
+                 WHEN (l = (r & l)) AND ((r & l) > 0) THEN 2
+                 ELSE NULL END AS BIGINT) AS medlat
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# F16 — spherical equivalent arithmetic (utils.py:1215-1217)
+# --------------------------------------------------------------------------
+
+
+def q_spherical_equivalent(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    sph = ((F.col("p_size") % 10) - 5).cast("decimal(18,2)")
+    cyl = (-(F.col("p_size") % 4)).cast("decimal(18,2)")
+    spheq = sph + F.lit(0.5).cast("decimal(18,2)") * cyl
+    return p.select(
+        "p_partkey",
+        F.round(sph.cast("double"), 2).alias("sph"),
+        F.round(cyl.cast("double"), 2).alias("cyl"),
+        F.round(spheq.cast("double"), 2).alias("spheq"),
+    )
+
+
+SQL_SPHERICAL_EQUIVALENT = """
+WITH t AS (
+  SELECT p_partkey,
+         CAST((p_size % 10) - 5 AS DECIMAL(18,2)) AS sph,
+         CAST(-(p_size % 4) AS DECIMAL(18,2)) AS cyl
+  FROM part
+)
+SELECT p_partkey,
+       ROUND(CAST(sph AS DOUBLE), 2) AS sph,
+       ROUND(CAST(cyl AS DOUBLE), 2) AS cyl,
+       ROUND(CAST(sph + CAST(0.5 AS DECIMAL(18,2)) * cyl AS DOUBLE), 2) AS spheq
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# S12 analog — typed metadata projection from a composite string (URL
+# parsing via portable regex; the DICOM-attr projection utils.py:1602-1619)
+# --------------------------------------------------------------------------
+
+
+def q_url_parts(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"^https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"^https?://[^/]+(/.*)$", 1).alias("path"),
+        F.regexp_extract(url, r"\.([a-z]+)\.[a-z]+/", 1).alias("sld"),
+    )
+
+
+SQL_URL_PARTS = r"""
+WITH t AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path,
+       regexp_extract(url, '\.([a-z]+)\.[a-z]+/', 1) AS sld
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# D8 analog / one-row-to-many — token explode with position (the spans
+# audit table shape) + A4 frequency count + repetition-ratio quality op
+# --------------------------------------------------------------------------
+
+
+def _toks():
+    return F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")), " +")
+
+
+_TOKS_SQL = "string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')), ' +')"
+
+
+def q_explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    head = F.slice(_toks(), 1, 5)
+    return d.select("doc_id", F.posexplode(head).alias("pos", "token")).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "token"
+    )
+
+
+SQL_EXPLODE_TOKENS = f"""
+WITH t AS (SELECT doc_id, list_slice({_TOKS_SQL}, 1, 5) AS toks FROM documents WHERE n_chars > 0)
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+       unnest(toks) AS token
+FROM t
+"""
+
+
+def q_token_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    tok = d.select(F.explode(_toks()).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+SQL_TOKEN_FREQUENCY = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents WHERE n_chars > 0)
+GROUP BY token HAVING COUNT(*) >= 100
+"""
+
+
+def q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality op: most-frequent-token share per document (boilerplate /
+    spam detector in webtext pipelines)."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    tok = d.select("doc_id", F.explode(_toks()).alias("token"))
+    per = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.max("c").alias("top_count"), F.sum("c").alias("n_tokens")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("top_count").cast("long").alias("top_count"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("top_count") / F.col("n_tokens"), 6).alias("repetition_ratio"),
+    )
+
+
+SQL_REPETITION_RATIO = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents WHERE n_chars > 0),
+per AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token)
+SELECT doc_id,
+       CAST(MAX(c) AS BIGINT) AS top_count,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS repetition_ratio
+FROM per GROUP BY doc_id
+"""
+
+
+QUERIES: dict = {
+    "union_multibranch": (q_union_multibranch, SQL_UNION_MULTIBRANCH),
+    "union_then_join": (q_union_then_join, SQL_UNION_THEN_JOIN),
+    "null_safe_filter": (q_null_safe_filter, SQL_NULL_SAFE_FILTER),
+    "medlat_quirk": (q_medlat_quirk, SQL_MEDLAT_QUIRK),
+    "spherical_equivalent": (q_spherical_equivalent, SQL_SPHERICAL_EQUIVALENT),
+    "url_parts": (q_url_parts, SQL_URL_PARTS),
+    "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+    "token_frequency": (q_token_frequency, SQL_TOKEN_FREQUENCY),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION_RATIO),
+}
