@@ -1,0 +1,74 @@
+"""Source/sink helpers (SURVEY.md §2.1): CSV golden-fixture ingest,
+header-first CSV sink, filtered binary export, binary-file corpus read.
+
+The reference's storage surface was: templated BigQuery scans (S1/S2),
+GCS blob down/uploads per document (S3/S4), create-or-append CSV with a
+header row (S6/S7), table replace (S8), and a bulk filtered binary
+export (S13, utils.py:1790-1817). Spark-side:
+
+- table scans are plain ``spark.read.parquet`` / ``read.table``;
+- the per-document blob fetch is ELIMINATED — payloads live in the
+  ``html`` binary column (BASELINE.json input_hint);
+- CSV keeps only two jobs here: golden-fixture ingest and human-audit
+  exports (spans flattened — CSV has no nested types);
+- binary export is a filtered projection written as parquet, replacing
+  the reference's download→zip→re-upload loop with one distributed job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """S7: CSV source with a header row (pd.read_csv of own output,
+    extract_gcc_report_text_ou.py:193)."""
+    r = spark.read.option("header", True)
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", True)
+    return r.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6: CSV sink with header. The reference's create-or-append
+    resumability is handled by the manifest layer (jobs/extract_job),
+    not by filesystem checks; this sink is for audit exports only."""
+    df.write.option("header", True).mode(mode).csv(path)
+
+
+def audit_rows(extracted: DataFrame) -> DataFrame:
+    """D8: flatten spans into one audit row per extracted field — the
+    human-evaluation artifact (the reference rendered annotated JPEGs,
+    extract_gcc_report_text_ou.py:148-187; here: text offsets a human
+    can jump to)."""
+    ok = extracted.filter(F.col("error").isNull())
+    return ok.select(
+        "url", "template", F.explode("spans").alias("s")
+    ).select(
+        "url",
+        "template",
+        F.col("s.label").alias("label"),
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+        F.col("s.text").alias("value"),
+    )
+
+
+def export_binary_subset(docs: DataFrame, predicate, out_path: str) -> None:
+    """S13: bulk filtered binary export (utils.py:1790-1817) — a
+    filter + binary projection written distributed, no driver loop."""
+    docs.filter(predicate).select("url", "html").write.mode("overwrite").parquet(out_path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*.html") -> DataFrame:
+    """S3 alternative for file corpora: ``binaryFile`` source mapped to
+    the canonical (url, html) shape."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(F.col("path").alias("url"), F.col("content").alias("html"))
+    )

@@ -1,0 +1,58 @@
+"""Source/sink round-trip tests (SURVEY.md §2.1 S3/S6/S7/S13/D8)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from oct_report_ocr_spark.jobs.extract_job import extract_df
+from oct_report_ocr_spark.sources import io as src_io
+from oct_report_ocr_spark.synth.gen_corpus import ensure_corpus, make_doc
+
+from .conftest import CACHE
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    corpus = ensure_corpus(CACHE, 0.001)
+    extracted = extract_df(spark.read.parquet(corpus), buckets=8)
+    flat = extracted.select("url", "template", "n_lines", "n_spans").limit(50)
+    p = str(tmp_path / "csv")
+    src_io.write_csv(flat, p)
+    back = src_io.read_csv(spark, p, schema="url string, template string, n_lines int, n_spans int")
+    a = {tuple(r) for r in flat.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_audit_rows_shape(spark):
+    corpus = ensure_corpus(CACHE, 0.001)
+    extracted = extract_df(spark.read.parquet(corpus), buckets=8)
+    audit = src_io.audit_rows(extracted)
+    rows = audit.filter(F.col("template") == "rnfl").limit(100).collect()
+    assert rows
+    assert {"url", "template", "label", "start", "end", "value"} == set(audit.columns)
+    assert all(r.start <= r.end or r.start == -1 for r in rows)
+
+
+def test_export_binary_subset(spark, tmp_path):
+    corpus = ensure_corpus(CACHE, 0.001)
+    docs = spark.read.parquet(corpus)
+    out = str(tmp_path / "export")
+    src_io.export_binary_subset(docs, F.col("url").like("%/gcc/%"), out)
+    back = spark.read.parquet(out)
+    assert back.columns == ["url", "html"]
+    n = docs.filter(F.col("url").like("%/gcc/%")).count()
+    assert back.count() == n
+
+
+def test_binary_file_source(spark, tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    docs = [make_doc(42, i) for i in range(6)]
+    for i, doc in enumerate(docs):
+        with open(d / f"p{i}.html", "wb") as f:
+            f.write(doc["html"])
+    df = src_io.read_binary_files(spark, str(d))
+    got = {os.path.basename(r.url): bytes(r.html) for r in df.collect()}
+    assert len(got) == 6
+    for i, doc in enumerate(docs):
+        assert got[f"p{i}.html"] == doc["html"]
