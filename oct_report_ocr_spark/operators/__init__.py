@@ -37,4 +37,10 @@ def all_queries() -> dict:
         out.update(extra.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import cohort
+
+        out.update(cohort.QUERIES)
+    except ImportError:
+        pass
     return out

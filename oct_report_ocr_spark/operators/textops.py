@@ -10,10 +10,10 @@ cannot drift.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from oct_report_ocr_spark.functions import normalizers
 
 from .relational import load
 
@@ -24,19 +24,8 @@ from .relational import load
 # '20/150' before '20/15', etc. — exactly the reference's elif order.
 # --------------------------------------------------------------------------
 
-_LOGMAR_LADDER: list[tuple[str, float]] = [
-    ("cf", -math.log10(0.0025)),
-    ("hm", -math.log10(0.002)),
-    ("nlp", -math.log10(0.0013)),
-    ("lp", -math.log10(0.0016)),
-] + [
-    (f"20/{d}", -math.log10(20 / d))
-    for d in (1600, 1250, 1000, 800, 650, 500, 400, 350, 300, 250, 225, 200,
-              160, 150, 125, 120, 100, 80, 70, 63, 60, 50, 40, 32, 30, 25,
-              20, 16, 15, 10)
-]
 # literal doubles rounded once in Python → bit-identical in both engines
-_LOGMAR_LADDER = [(k, round(v, 6)) for k, v in _LOGMAR_LADDER]
+_LOGMAR_LADDER = list(normalizers.LOGMAR_LADDER)
 
 
 def _va_expr():
@@ -59,12 +48,11 @@ _VA_SQL = """CASE WHEN p_partkey % 10 = 0 THEN 'CF at 3ft'
 
 def q_logmar_ladder(spark: SparkSession, sf: str) -> DataFrame:
     p = load(spark, sf, "part")
-    va = F.lower(_va_expr())
-    expr = None
-    for key, val in _LOGMAR_LADDER:
-        cond = F.instr(va, key) > 0
-        expr = F.when(cond, F.lit(val)) if expr is None else expr.when(cond, F.lit(val))
-    return p.select("p_partkey", _va_expr().alias("va"), expr.alias("logmar"))
+    return p.select(
+        "p_partkey",
+        _va_expr().alias("va"),
+        normalizers.logmar_expr(_va_expr()).alias("logmar"),
+    )
 
 
 def _logmar_sql_plain() -> str:
@@ -89,10 +77,7 @@ SQL_LOGMAR = _logmar_sql_plain()
 # --------------------------------------------------------------------------
 
 # occurrences(s, sub) via length arithmetic — portable across engines
-def _occ(col, sub: str):
-    return (
-        (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit("")))) / len(sub)
-    ).cast("long")
+_occ = normalizers.occurrences
 
 
 def _occ_sql(col: str, sub: str) -> str:
@@ -112,12 +97,7 @@ def q_laterality(spark: SparkSession, sf: str) -> DataFrame:
     )
     note = F.lower(F.concat(F.col("text"), marker))
     left, right = _occ(note, "left eye"), _occ(note, "right eye")
-    lat = (
-        F.when(left > right, F.lit(1))
-        .when(right > left, F.lit(0))
-        .otherwise(F.lit(None))
-        .cast("long")
-    )
+    lat = normalizers.laterality_expr(left, right)
     return d.select(
         "doc_id", left.alias("leftcount"), right.alias("rightcount"), lat.alias("laterality")
     )
@@ -151,20 +131,13 @@ FROM n
 def q_token_repair(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     pct_tok = F.concat(F.lit("%"), (F.col("doc_id") % 97).cast("string"))
-    fixed_pct = F.when(F.substring(pct_tok, 1, 1) == "%", F.reverse(pct_tok)).otherwise(pct_tok)
     um_tok = F.concat((F.col("n_chars") % 200).cast("string"), F.lit(" m"))
-    fixed_um = F.when(
-        (F.length(um_tok) <= 5)
-        & um_tok.contains("m")
-        & ~um_tok.contains("mm"),
-        F.replace(um_tok, F.lit("m"), F.lit("μm")),
-    ).otherwise(um_tok)
     area_tok = F.concat((F.col("doc_id") % 7).cast("string"), F.lit(".1"))
     return d.select(
         "doc_id",
-        fixed_pct.alias("fixed_pct"),
-        fixed_um.alias("fixed_um"),
-        F.concat(area_tok, F.lit("^2")).alias("area_val"),
+        normalizers.reversed_pct_expr(pct_tok).alias("fixed_pct"),
+        normalizers.um_repair_expr(um_tok).alias("fixed_um"),
+        normalizers.area_suffix_expr(area_tok).alias("area_val"),
     )
 
 
