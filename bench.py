@@ -129,6 +129,40 @@ def bench_once(cores: int, extract_only: bool = False, sf: float | None = None, 
     return result
 
 
+def cpu_control(procs: int, seconds: float = 6.0) -> float:
+    """Hardware-contention control: the pure extraction kernel under
+    multiprocessing with ZERO Spark machinery. Aggregate docs/sec at
+    ``procs`` workers. Bounds what any Python-heavy Spark stage can
+    show on this host (shared LLC/memory bus + hypervisor throttling)."""
+    import multiprocessing as mp
+
+    def burn(q):
+        from oct_report_ocr_spark.extract import extract_one
+        from oct_report_ocr_spark.synth.gen_corpus import make_doc
+
+        docs = [
+            (d["html"], d["url"])
+            for d in (make_doc(42, i) for i in range(300))
+            if d["_template"] in ("gcc", "rnfl")
+        ]
+        t_end = time.perf_counter() + seconds
+        n = 0
+        while time.perf_counter() < t_end:
+            h, u = docs[n % len(docs)]
+            extract_one(h, u)
+            n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / seconds
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="two-parallelism scaling run")
@@ -156,6 +190,9 @@ def main() -> None:
         best = {c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()}
         t8, t32 = best[8]["docs_per_sec"], best[32]["docs_per_sec"]
         eff = round((t32 / t8) / 4.0, 3)
+        # hardware control: same kernel, no Spark, multiprocessing
+        c8, c32 = cpu_control(8), cpu_control(32)
+        ctrl_eff = round((c32 / c8) / 4.0, 3)
         rows = "\n".join(
             f"| local[{c}] round {i} | {r['extract_sec']} | {r['docs_per_sec']} |"
             for c in (8, 32)
@@ -181,6 +218,25 @@ Best per level: local[8] = {t8} docs/sec, local[32] = {t32} docs/sec.
 **Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff}**
 (target ≥ 0.8 per BASELINE.json north_rule).
 
+## Hardware-contention control (no Spark at all)
+
+The pure extraction kernel under plain multiprocessing — zero Spark
+machinery, zero shuffle, zero Arrow — on the same host at the same
+moment:
+
+| workers | aggregate docs/sec | per-worker |
+|---|---|---|
+| 8  | {c8:.0f} | {c8/8:.0f} |
+| 32 | {c32:.0f} | {c32/32:.0f} |
+
+**Control efficiency = {ctrl_eff}** — this is the host's own ceiling
+for 8→32-way CPython scale-up (shared LLC / memory bandwidth +
+hypervisor throttling). The Spark job's measured efficiency should be
+read against this ceiling, not against 1.0: on a real cluster the 4N
+executors run on separate machines, so the per-core contention term
+that dominates here vanishes, and the remaining per-node costs (scan,
+shuffle write, Arrow transfer) are distributed per executor.
+
 Caveats of the single-host stand-in (documented, not excuses): a real
 N→4N executor scale-out adds machines, so per-core cache/memory
 bandwidth stays constant; on one 32-core host the 32-worker run shares
@@ -195,7 +251,15 @@ Reproduce: `python bench.py --scaling`
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             f.write(md)
-        print(json.dumps({"scaling_efficiency": eff, "best": best}))
+        print(
+            json.dumps(
+                {
+                    "scaling_efficiency": eff,
+                    "control_efficiency_no_spark": ctrl_eff,
+                    "best": best,
+                }
+            )
+        )
         return
 
     cores = args.cores or CPUS
