@@ -43,4 +43,10 @@ def all_queries() -> dict:
         out.update(cohort.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import temporal
+
+        out.update(temporal.QUERIES)
+    except ImportError:
+        pass
     return out

@@ -132,9 +132,99 @@ FROM v
 """
 
 
+NEAR_DUP_THRESHOLD = 0.4  # synthetic vectors top out at cos ≈ 0.51
+IVF_K = 8  # centroids = vec_id 1..K (deterministic "training")
+
+_DOT_SQL = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x,y) -> x + y)"
+_NORM_SQL = "sqrt(list_reduce(list_transform({v}, x -> x * x), (x,y) -> x + y))"
+
+
+def _cos(a, b):
+    dot = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    return dot / (
+        F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+        * F.sqrt(_fold_sum(F.transform(b, lambda x: x * x)))
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact verify stage of
+    embedding dedup). This is the exactness baseline the LSH bucketing
+    (q_ann_lsh_bucket) prunes candidates FOR at scale — there, pairs
+    are only generated within a bucket; here every pair is scored so
+    the oracle can agree bit-for-bit."""
+    e = load(spark, sf, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = _cos(F.col("a.v"), F.col("b.v"))
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") > NEAR_DUP_THRESHOLD)
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_DOT_SQL.format(a="a.v", b="b.v")}
+             / ({_NORM_SQL.format(v="a.v")} * {_NORM_SQL.format(v="b.v")}), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND({_DOT_SQL.format(a="a.v", b="b.v")}
+            / ({_NORM_SQL.format(v="a.v")} * {_NORM_SQL.format(v="b.v")}), 6) > {NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_ann_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest of
+    K deterministic centroids (vec_id 1..K stand in for trained
+    centroids). The scale path for batch kNN: the assignment is a
+    broadcast of K centroids over a map-only scan; queries then probe
+    only their cell (an equi-join on centroid_id) instead of the full
+    corpus. Ties break to the lowest centroid id."""
+    e = load(spark, sf, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = (
+        vecs.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
+    joined = vecs.crossJoin(F.broadcast(cents))
+    scored = joined.select(
+        "vec_id", "centroid_id", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("cos").alias("cos_to_centroid"))
+    )
+
+
+SQL_ANN_IVF_ASSIGN = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id BETWEEN 1 AND {IVF_K}),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         ROUND({_DOT_SQL.format(a="v.v", b="c.cv")}
+               / ({_NORM_SQL.format(v="v.v")} * {_NORM_SQL.format(v="c.cv")}), 6) AS cos
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, cos AS cos_to_centroid FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),
     "embedding_positional": (q_embedding_positional, SQL_EMBEDDING_POSITIONAL),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
 }
