@@ -85,10 +85,15 @@ def run_extraction(spark, sf: float, repeats: int = 1) -> tuple[float, int]:
     docs = spark.read.parquet(corpus)
     n_in = docs.filter(F.col("lang") == "en").count()
     # fixed bucket count: the scaling comparison (local[8] vs local[32])
-    # must run the IDENTICAL job — only parallelism may differ
-    plan = extract_df(docs, buckets=128, lang="en")
+    # must run the IDENTICAL job — only parallelism may differ. 64+16
+    # partitions = 2.5 task waves at 32 cores; 128 buckets measured 2.7x
+    # slower at sf0.1 purely from tiny-task scheduling overhead
+    plan = extract_df(docs, buckets=64, lang="en")
+    # warmup so the timed runs measure the job, not daemon spawn: spawn
+    # the Python workers + JIT the UDF path on a small sample
+    _noop_write(extract_df(docs.limit(512), buckets=8, lang="en"))
     if repeats > 1:
-        _noop_write(plan)  # warmup: python workers, JIT, page cache
+        _noop_write(plan)  # full-size warmup: page cache, AQE stats
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()

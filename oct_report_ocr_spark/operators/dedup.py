@@ -12,7 +12,13 @@ Scale notes (10¹²-doc posture):
   pages) are the hot spot; at scale add a band-frequency cap before the
   join (drop bands with > K members into a separate heavy-hitter pass);
 - SimHash is embarrassingly parallel (map-only signature, then a
-  shuffle on the signature for bucketing).
+  shuffle on the signature for bucketing);
+- signature compute is CPU-bound per doc (thousands of hashes), so when
+  the scan yields fewer splits than cores (few big files / one row
+  group) we repartition by doc_id first — a tiny shuffle that unlocks
+  full-width parallelism for the dominant stage. All 8 minhash
+  functions come from TWO md5 evaluations per shingle (four 32-bit
+  slices of each 128-bit digest), not eight.
 """
 
 from __future__ import annotations
@@ -22,13 +28,20 @@ from pyspark.sql import functions as F
 
 from .relational import load
 
-N_HASHES = 8  # minhash functions
+N_HASHES = 8  # minhash functions (4 slices × 2 salted digests)
 N_BANDS = 4  # bands of 2 hashes each
 SHINGLE = 3  # words per shingle
 
 
 def _tokens(col):
     return F.split(F.trim(F.regexp_replace(F.lower(col), "[^a-z ]", "")), " +")
+
+
+def _wide(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a CPU-heavy per-doc stage across all cores even when the
+    scan produced fewer splits than cores (single-row-group files).
+    Deterministic key partitioning — no round-robin."""
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 _TOKENS_SQL = "string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')), ' +')"
@@ -61,17 +74,19 @@ FROM t GROUP BY content_key
 """
 
 
-def _minhash_cols(shingles):
-    """h_j = lexicographic min over shingles of md5(j || '|' || shingle).
-    String-min is portable; numeric conversion of hex is not.
-
-    NB: the salt literal must be bound OUTSIDE the lambda — a 2-param
-    lambda would make Spark pass the array index as the second arg."""
+def _minhash_cols():
+    """h_j = lexicographic min over shingles of a 8-hex-digit (32-bit)
+    slice of md5. Hashes 0-3 slice md5(shingle); hashes 4-7 slice
+    md5('x:' || shingle) — 8 independent-enough functions from 2 digest
+    evaluations per shingle (string-min is portable; numeric conversion
+    of hex is not). Operates on pre-materialized digest arrays m1/m2 so
+    the expensive md5 runs once per shingle, not once per hash."""
 
     def one(j: int):
-        prefix = F.lit(f"{j}|")
+        src = F.col("m1") if j < 4 else F.col("m2")
+        off = (j % 4) * 8 + 1
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(prefix, s)))
+            F.transform(src, lambda m: F.substring(m, off, 8))
         ).alias(f"h{j}")
 
     return [one(j) for j in range(N_HASHES)]
@@ -82,7 +97,7 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     MinHash+LSH near-dup detection)."""
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
     toks = _tokens(F.col("text"))
-    d = d.select("doc_id", toks.alias("ws")).filter(F.size("ws") >= SHINGLE)
+    d = _wide(spark, d.select("doc_id", toks.alias("ws")).filter(F.size("ws") >= SHINGLE))
     shingles = F.transform(
         F.sequence(F.lit(0), F.size("ws") - SHINGLE),
         lambda i: F.concat_ws(
@@ -92,12 +107,17 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.col("ws"), i + 3),
         ),
     )
-    return d.select("doc_id", *_minhash_cols(shingles))
+    d = d.select("doc_id", shingles.alias("sh")).select(
+        "doc_id",
+        F.transform(F.col("sh"), F.md5).alias("m1"),
+        F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit("x:"), s))).alias("m2"),
+    )
+    return d.select("doc_id", *_minhash_cols())
 
 
 def _minhash_sql_core() -> str:
     h_exprs = ",\n         ".join(
-        f"list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS h{j}"
+        f"list_min(list_transform({'m1' if j < 4 else 'm2'}, m -> substr(m, {(j % 4) * 8 + 1}, 8))) AS h{j}"
         for j in range(N_HASHES)
     )
     return f"""
@@ -109,10 +129,15 @@ WITH toks AS (
          list_transform(range(0, len(ws) - {SHINGLE - 1}),
                         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS shingles
   FROM toks WHERE len(ws) >= {SHINGLE}
+), dg AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> md5(s)) AS m1,
+         list_transform(shingles, s -> md5('x:' || s)) AS m2
+  FROM sh
 ), mh AS (
   SELECT doc_id,
          {h_exprs}
-  FROM sh
+  FROM dg
 )
 """
 
@@ -130,7 +155,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     exploded = sig.select("doc_id", F.posexplode(bands).alias("band_id", "band_val"))
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # SHUFFLE_HASH, not broadcast: both sides are the same exploded band
+    # table, so the two band-key exchanges canonicalize identically and
+    # the signature computation runs ONCE (ReusedExchange); a broadcast
+    # build would recompute it and collect the whole band table to the
+    # driver — impossible at web scale (measured 16x slower at sf0.1)
+    b = exploded.alias("b").hint("shuffle_hash")
     return (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -154,7 +184,17 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf: str) -> DataFrame:
     that follows LSH candidate generation; adjacent pairing keeps the
     oracle O(n))."""
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    toks = _tokens(F.col("text"))
+    # filter on token COUNT (cheap, == size(grams) > 0 since tokens are
+    # non-empty) BEFORE the widening shuffle: a size(grams)>0 filter
+    # would be pushed below the exchange and re-evaluate the whole gram
+    # expression single-threaded in the scan stage
+    d = _wide(
+        spark,
+        d.select("doc_id", _tokens(F.col("text")).alias("ws")).filter(
+            F.size("ws") >= SHINGLE
+        ),
+    )
+    toks = F.col("ws")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - SHINGLE),
@@ -166,9 +206,11 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    g = d.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
+    g = d.select("doc_id", grams.alias("grams"))
     a, b = g.alias("a"), g.alias("b")
-    joined = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+    # SHUFFLE_MERGE: the build side would be the full gram corpus —
+    # never driver-broadcastable at web scale
+    joined = a.join(b.hint("merge"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))).cast("double")
     return joined.select(
@@ -198,15 +240,18 @@ FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash over word tokens: bit b is the sign of the sum of
     ±1 votes, where token t votes +1 on bit b iff hex digit b of md5(t)
-    has its high bit set. Fully portable integer arithmetic."""
+    has its high bit set. Fully portable integer arithmetic. The digest
+    array is materialized once per doc (one md5 per token) — the 16
+    per-bit sums then read cheap substrings of it."""
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    toks = _tokens(F.col("text"))
+    d = _wide(spark, d.select("doc_id", _tokens(F.col("text")).alias("ws")))
+    d = d.select("doc_id", F.transform(F.col("ws"), F.md5).alias("md5s"))
 
     def bit(b: int):
         votes = F.transform(
-            toks,
-            lambda t: F.when(
-                F.instr(F.lit("89abcdef"), F.substring(F.md5(t), b + 1, 1)) > 0, 1
+            F.col("md5s"),
+            lambda m: F.when(
+                F.instr(F.lit("89abcdef"), F.substring(m, b + 1, 1)) > 0, 1
             ).otherwise(-1),
         )
         total = F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
@@ -220,15 +265,17 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 def _simhash_sql() -> str:
     bits = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(ws, t -> CASE WHEN instr('89abcdef', substr(md5(t), {b + 1}, 1)) > 0 THEN 1 ELSE -1 END)) >= 0 THEN {2**b} ELSE 0 END)"
+        f"(CASE WHEN list_sum(list_transform(md5s, m -> CASE WHEN instr('89abcdef', substr(m, {b + 1}, 1)) > 0 THEN 1 ELSE -1 END)) >= 0 THEN {2**b} ELSE 0 END)"
         for b in range(16)
     )
     return f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS_SQL} AS ws
   FROM documents WHERE n_chars > 0
+), dg AS (
+  SELECT doc_id, list_transform(ws, t -> md5(t)) AS md5s FROM toks
 )
-SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM toks
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM dg
 """
 
 
