@@ -308,8 +308,100 @@ FROM per GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# F17 — concept rename via dict lookup (utils.py:1220-1221, exam_dict
+# :51-127): a map LITERAL evaluated in codegen (the broadcast-dim-join
+# alternative is shown in relational.q_dim_join_agg / cohort)
+# --------------------------------------------------------------------------
+
+_EVENT_LABELS = [
+    ("click", "user_click"),
+    ("view", "page_view"),
+    ("purchase", "checkout_complete"),
+    ("signup", "account_created"),
+]
+
+
+def q_map_decode(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    lookup = F.create_map(
+        *[F.lit(x) for pair in _EVENT_LABELS for x in pair]
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(lookup[F.col("event_type")], F.lit("other")).alias("concept"),
+    )
+
+
+SQL_MAP_DECODE = (
+    "SELECT event_id, CASE "
+    + " ".join(f"WHEN event_type = '{k}' THEN '{v}'" for k, v in _EVENT_LABELS)
+    + " ELSE 'other' END AS concept FROM events"
+)
+
+
+# --------------------------------------------------------------------------
+# P8 — SQL-string predicate filter (utils.py:1379 `df.query(...)`) over
+# a P1 star projection (utils.py:469-473): Catalyst parses the string
+# into the same predicate tree and still prunes/pushes it down.
+# --------------------------------------------------------------------------
+
+
+def q_where_string(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .select("*")
+        .where("o_orderpriority = '1-URGENT' and o_totalprice > 200000")
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+
+
+SQL_WHERE_STRING = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+"""
+
+
+# --------------------------------------------------------------------------
+# J7 — equi-join on a composite natural key (utils.py:1036-1044 joins
+# USING (pat_enc_csn_id, pat_mrn, pat_id, contact_date)): per-key
+# aggregate joined back to detail rows on the full 3-column key.
+# --------------------------------------------------------------------------
+
+
+def q_composite_key_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    keys = ["l_orderkey", "l_partkey", "l_suppkey"]
+    per_key = li.groupBy(*keys).agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "key_qty"
+        )
+    )
+    return (
+        li.join(per_key, on=keys)
+        .filter(F.col("key_qty") > 45)
+        .select(*keys, F.col("l_linenumber").cast("long").alias("l_linenumber"), "key_qty")
+    )
+
+
+SQL_COMPOSITE_KEY_JOIN = """
+WITH per_key AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS key_qty
+  FROM lineitem GROUP BY l_orderkey, l_partkey, l_suppkey
+)
+SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
+       CAST(l.l_linenumber AS BIGINT) AS l_linenumber, p.key_qty
+FROM lineitem l JOIN per_key p USING (l_orderkey, l_partkey, l_suppkey)
+WHERE p.key_qty > 45
+"""
+
+
 QUERIES: dict = {
     "union_multibranch": (q_union_multibranch, SQL_UNION_MULTIBRANCH),
+    "map_decode": (q_map_decode, SQL_MAP_DECODE),
+    "where_string": (q_where_string, SQL_WHERE_STRING),
+    "composite_key_join": (q_composite_key_join, SQL_COMPOSITE_KEY_JOIN),
     "union_then_join": (q_union_then_join, SQL_UNION_THEN_JOIN),
     "null_safe_filter": (q_null_safe_filter, SQL_NULL_SAFE_FILTER),
     "medlat_quirk": (q_medlat_quirk, SQL_MEDLAT_QUIRK),

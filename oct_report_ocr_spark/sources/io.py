@@ -72,3 +72,32 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*.html") -> D
         .load(path)
         .select(F.col("path").alias("url"), F.col("content").alias("html"))
     )
+
+
+def list_corpus_files(spark: SparkSession, path: str) -> DataFrame:
+    """S5: bucket/blob listing (utils.py:1569-1579) — a distributed
+    per-file inventory via ``input_file_name()`` over the scan, with
+    row counts per file (the reference listed GCS blobs serially)."""
+    return (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def read_concat(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """U4: concat of per-batch tables (pd.concat, utils.py:1590-1592) —
+    a single multi-path scan; schema unioned by name so batches with
+    column-order drift still line up."""
+    first, *rest = [spark.read.parquet(p) for p in paths]
+    out = first
+    for df in rest:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def lowercase_columns(df: DataFrame) -> DataFrame:
+    """P3: rename-to-lowercase normalization (utils.py:477
+    ``df.columns = map(str.lower, ...)``) — pure metadata, no shuffle."""
+    return df.toDF(*[c.lower() for c in df.columns])

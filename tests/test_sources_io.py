@@ -44,6 +44,31 @@ def test_export_binary_subset(spark, tmp_path):
     assert back.count() == n
 
 
+def test_list_corpus_files(spark, tmp_path):
+    corpus = ensure_corpus(CACHE, 0.001)
+    inv = src_io.list_corpus_files(spark, corpus).collect()
+    assert inv
+    total = sum(r.n_rows for r in inv)
+    assert total == spark.read.parquet(corpus).count()
+    assert all(r.file.endswith(".parquet") for r in inv)
+
+
+def test_read_concat_union_by_name(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame([(1, "x")], "id int, v string").write.parquet(a)
+    # column-order drift + a missing column: unionByName must line up
+    spark.createDataFrame([("y", 2, 9.5)], "v string, id int, extra double").write.parquet(b)
+    out = src_io.read_concat(spark, [a, b]).orderBy("id").collect()
+    assert [r.id for r in out] == [1, 2]
+    assert [r.v for r in out] == ["x", "y"]
+    assert out[0].extra is None and out[1].extra == 9.5
+
+
+def test_lowercase_columns(spark):
+    df = spark.createDataFrame([(1, "a")], "Doc_ID int, TEXT string")
+    assert src_io.lowercase_columns(df).columns == ["doc_id", "text"]
+
+
 def test_binary_file_source(spark, tmp_path):
     d = tmp_path / "pages"
     d.mkdir()
