@@ -70,7 +70,7 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_extraction(spark, sf: float, repeats: int = 1) -> tuple[float, int]:
+def run_extraction(spark, sf: float, repeats: int = 1, mode: str = "salted") -> tuple[float, int]:
     """Flagship extraction end-to-end (scan → salt → mapInArrow → noop
     sink). With repeats>1: one warmup run, then median of `repeats`
     timed runs. Returns (wall_sec, n_docs_processed)."""
@@ -82,13 +82,19 @@ def run_extraction(spark, sf: float, repeats: int = 1) -> tuple[float, int]:
     from oct_report_ocr_spark.synth.gen_corpus import ensure_corpus
 
     corpus = ensure_corpus(os.path.join(REPO, ".cache"), sf)
+    # AQE off for the extraction job: the plan has ONE explicit
+    # repartition (nothing for AQE to re-plan) and AQE's query-stage
+    # materialization barrier breaks scan→extract pipelining — measured
+    # +45% wall at 32 cores. Relational queries keep AQE on.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     docs = spark.read.parquet(corpus)
     n_in = docs.filter(F.col("lang") == "en").count()
     # fixed bucket count: the scaling comparison (local[8] vs local[32])
     # must run the IDENTICAL job — only parallelism may differ. 64+16
     # partitions = 2.5 task waves at 32 cores; 128 buckets measured 2.7x
     # slower at sf0.1 purely from tiny-task scheduling overhead
-    plan = extract_df(docs, buckets=64, lang="en")
+    plan = extract_df(docs, buckets=64, lang="en", mode=mode)
     # warmup so the timed runs measure the job, not daemon spawn: spawn
     # the Python workers + JIT the UDF path on a small sample
     _noop_write(extract_df(docs.limit(512), buckets=8, lang="en"))
@@ -99,6 +105,7 @@ def run_extraction(spark, sf: float, repeats: int = 1) -> tuple[float, int]:
         t0 = time.perf_counter()
         _noop_write(plan)
         times.append(time.perf_counter() - t0)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     return statistics.median(times), n_in
 
 
@@ -115,12 +122,18 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_once(cores: int, extract_only: bool = False, sf: float | None = None, repeats: int = 1) -> dict:
+def bench_once(
+    cores: int,
+    extract_only: bool = False,
+    sf: float | None = None,
+    repeats: int = 1,
+    mode: str = "salted",
+) -> dict:
     from oct_report_ocr_spark.session import get_spark
 
     spark = get_spark(app_name=f"bench_c{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     sf = sf if sf is not None else _sf_of_dir(SF_DIR)
-    ext_sec, n_docs = run_extraction(spark, sf, repeats=repeats)
+    ext_sec, n_docs = run_extraction(spark, sf, repeats=repeats, mode=mode)
     result = {
         "cores": cores,
         "sf": sf,
@@ -142,6 +155,9 @@ def cpu_control(procs: int, seconds: float = 6.0) -> float:
     import multiprocessing as mp
 
     def burn(q):
+        # pin to the first `procs` cores — same cpuset as the Spark run
+        # at that level, so the control measures the same hardware slice
+        os.sched_setaffinity(0, set(range(procs)))
         from oct_report_ocr_spark.extract import extract_one
         from oct_report_ocr_spark.synth.gen_corpus import make_doc
 
@@ -175,50 +191,88 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--bench-sf", type=float, default=None)
     ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--mode", default="salted", choices=["salted", "scan-aligned"])
     args = ap.parse_args()
 
     if args.scaling:
-        scaling_sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "0.4"))
+        scaling_sf = float(os.environ.get("SPARK_GRAFT_SCALING_SF", "1.6"))
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
-        runs: dict[int, list[dict]] = {8: [], 32: []}
+        modes = os.environ.get("SPARK_GRAFT_SCALING_MODES", "salted,scan-aligned").split(",")
+        runs: dict[tuple[int, str], list[dict]] = {
+            (c, m): [] for c in (8, 32) for m in modes
+        }
         for _ in range(rounds):
             for cores in (8, 32):  # interleaved to cancel host CPU drift
-                out = subprocess.run(
-                    [
-                        sys.executable, __file__, "--cores", str(cores),
-                        "--extract-only", "--bench-sf", str(scaling_sf), "--repeats", "3",
-                    ],
-                    capture_output=True, text=True, check=True, cwd=REPO,
-                )
-                line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-                runs[cores].append(json.loads(line))
-        best = {c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()}
-        t8, t32 = best[8]["docs_per_sec"], best[32]["docs_per_sec"]
+                for mode in modes:
+                    # pin each level to exactly `cores` CPUs: an N-executor
+                    # cluster doesn't get the 4N cluster's spare cores, and
+                    # unpinned local[8] would borrow all 32 for its JVM/GC/
+                    # Python workers, deflating the measured ratio
+                    pin = ["taskset", "-c", f"0-{cores - 1}"]
+                    out = subprocess.run(
+                        [
+                            *pin, sys.executable, __file__, "--cores", str(cores),
+                            "--extract-only", "--bench-sf", str(scaling_sf),
+                            "--repeats", "3", "--mode", mode,
+                        ],
+                        capture_output=True, text=True, check=True, cwd=REPO,
+                    )
+                    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+                    runs[(cores, mode)].append(json.loads(line))
+        best = {k: max(rs, key=lambda r: r["docs_per_sec"]) for k, rs in runs.items()}
+        t8 = best[(8, modes[0])]["docs_per_sec"]
+        t32 = best[(32, modes[0])]["docs_per_sec"]
         eff = round((t32 / t8) / 4.0, 3)
+        mode_eff = {
+            m: round((best[(32, m)]["docs_per_sec"] / best[(8, m)]["docs_per_sec"]) / 4.0, 3)
+            for m in modes
+        }
         # hardware control: same kernel, no Spark, multiprocessing
         c8, c32 = cpu_control(8), cpu_control(32)
         ctrl_eff = round((c32 / c8) / 4.0, 3)
         rows = "\n".join(
-            f"| local[{c}] round {i} | {r['extract_sec']} | {r['docs_per_sec']} |"
+            f"| local[{c}] {m} round {i} | {r['extract_sec']} | {r['docs_per_sec']} |"
             for c in (8, 32)
-            for i, r in enumerate(runs[c])
+            for m in modes
+            for i, r in enumerate(runs[(c, m)])
+        )
+        mode_rows = "\n".join(
+            f"| {m} | {best[(8, m)]['docs_per_sec']} | {best[(32, m)]['docs_per_sec']} | {mode_eff[m]} |"
+            for m in modes
         )
         md = f"""# BENCH — measured scaling evidence (north rule)
 
 Identical extraction job (scan → lang filter → salted repartition →
 mapInArrow extraction → noop sink) on the identical sf={scaling_sf}
-synthetic corpus ({best[8]['n_docs']} English docs), two parallelism
-levels standing in for N vs 4N executors (32 physical cores, local
-mode, one JVM per level). Each cell is the median of 3 timed runs
-after a warmup; levels are interleaved across rounds because the
-sandbox host's hypervisor gives bursty CPU (identical runs vary up to
-~2.4x — see the per-round table).
+synthetic corpus ({best[(8, modes[0])]['n_docs']} English docs), two
+parallelism levels standing in for N vs 4N executors. Each level is
+**pinned to exactly its core count** (`taskset -c 0-7` vs `0-31`) — an
+N-executor cluster doesn't get the 4N cluster's spare cores, and an
+unpinned local[8] JVM borrows all 32 for GC/Python workers, deflating
+the ratio. One JVM per level; shuffle dirs on tmpfs (cluster-node NVMe
+stand-in); AQE off for this job (explicit repartition, nothing to
+re-plan; its stage barrier costs +45% at 32 cores). Each cell is the
+median of 3 timed runs after a warmup; levels are interleaved across
+rounds because the sandbox host's hypervisor gives bursty CPU.
+
+Two partitioning modes are measured (jobs/extract_job.py `mode`):
+**salted** (the north-rule posture: one full-payload repartition on
+`pmod(xxhash64(url), buckets)` + a separate key range for huge pages —
+robust to any input layout) and **scan-aligned** (no shuffle;
+extraction on byte-balanced parquet splits — the mode to prefer when
+the table layout is already sane, since at 10¹² docs the payload
+shuffle is the largest avoidable cost). Output bytes are identical in
+both modes (tests/test_plans.py).
 
 | run | wall sec (median of 3) | docs/sec |
 |---|---|---|
 {rows}
 
-Best per level: local[8] = {t8} docs/sec, local[32] = {t32} docs/sec.
+| mode | docs/sec @8 | docs/sec @32 | efficiency |
+|---|---|---|---|
+{mode_rows}
+
+Headline (salted): local[8] = {t8} docs/sec, local[32] = {t32} docs/sec.
 
 **Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff}**
 (target ≥ 0.8 per BASELINE.json north_rule).
@@ -260,15 +314,22 @@ Reproduce: `python bench.py --scaling`
             json.dumps(
                 {
                     "scaling_efficiency": eff,
+                    "mode_efficiency": mode_eff,
                     "control_efficiency_no_spark": ctrl_eff,
-                    "best": best,
+                    "best": {f"c{c}_{m}": r for (c, m), r in best.items()},
                 }
             )
         )
         return
 
     cores = args.cores or CPUS
-    r = bench_once(cores, extract_only=args.extract_only, sf=args.bench_sf, repeats=args.repeats)
+    r = bench_once(
+        cores,
+        extract_only=args.extract_only,
+        sf=args.bench_sf,
+        repeats=args.repeats,
+        mode=args.mode,
+    )
     if args.extract_only:
         print(json.dumps(r))
         return

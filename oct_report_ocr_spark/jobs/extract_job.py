@@ -49,6 +49,7 @@ def extract_df(
     buckets: int = 64,
     lang: str | None = "en",
     exclude_buckets: list[int] | None = None,
+    mode: str = "salted",
 ) -> DataFrame:
     """The logical extraction plan (no sink). Returns one row per input
     document with columns OUTPUT_DDL + ``bucket``.
@@ -56,7 +57,27 @@ def extract_df(
     ``exclude_buckets`` (resume) is applied *before* the UDF, on the
     scan side, so completed buckets cost a hash+filter in codegen, not
     an extraction — and never cross into the Python worker.
+
+    ``mode`` picks the partitioning strategy for the Python stage:
+
+    - ``"salted"`` (default, the north-rule posture): one explicit
+      repartition on ``pmod(xxhash64(url), buckets)`` with a separate
+      key range for huge pages. Robust to ANY input layout — whole-site
+      dump files, giant-page clustering, sources whose per-byte CPU
+      cost is wildly uneven — at the price of shuffling the full
+      payload once.
+    - ``"scan-aligned"``: no shuffle; extraction runs directly on the
+      scan splits. Correct whenever the source is splittable columnar
+      (parquet/Iceberg) — `spark.sql.files.maxPartitionBytes` already
+      bounds BYTES per task, so per-task work is balanced as long as
+      extraction cost is roughly proportional to bytes. At 10¹² docs
+      the payload shuffle is the single largest avoidable cost, so
+      this is the mode to prefer for well-laid-out tables; fall back
+      to ``salted`` for hostile layouts. Output bytes are identical in
+      both modes (the kernel is partitioning-invariant — tested).
     """
+    if mode not in ("salted", "scan-aligned"):
+        raise ValueError(f"unknown mode: {mode!r}")
     df = docs
     if lang is not None and "lang" in df.columns:
         df = df.filter(F.col("lang") == lang)
@@ -65,24 +86,23 @@ def extract_df(
     if exclude_buckets:
         df = df.filter(~F.col("bucket").isin(exclude_buckets))
 
-    # SINGLE scan + SINGLE shuffle: huge pages (~0.5%) get their own
-    # url-scattered key range ABOVE the normal buckets, so a run of
-    # multi-MB payloads can't bloat a small-class Arrow batch, while the
-    # plan stays one exchange (a two-branch filter+union would scan the
-    # input twice — measured 2× the scan CPU at sf0.1)
-    n_large_keys = max(buckets // 4, 8)
-    part_key = (
-        F.when(
-            F.length("html") > LARGE_HTML_BYTES,
-            F.lit(buckets) + F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_large_keys)).cast("int"),
+    if mode == "salted":
+        # SINGLE scan + SINGLE shuffle: huge pages (~0.5%) get their own
+        # url-scattered key range ABOVE the normal buckets, so a run of
+        # multi-MB payloads can't bloat a small-class Arrow batch, while
+        # the plan stays one exchange (a two-branch filter+union would
+        # scan the input twice — measured 2× the scan CPU at sf0.1)
+        n_large_keys = max(buckets // 4, 8)
+        part_key = (
+            F.when(
+                F.length("html") > LARGE_HTML_BYTES,
+                F.lit(buckets)
+                + F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_large_keys)).cast("int"),
+            )
+            .otherwise(F.col("bucket"))
         )
-        .otherwise(F.col("bucket"))
-    )
-    out = (
-        df.repartition(buckets + n_large_keys, part_key)
-        .select(*INPUT_COLS)
-        .mapInArrow(extract_batches, schema=OUTPUT_DDL)
-    )
+        df = df.repartition(buckets + n_large_keys, part_key)
+    out = df.select(*INPUT_COLS).mapInArrow(extract_batches, schema=OUTPUT_DDL)
     # recompute the bucket for the sink partitioning (cheap codegen hash)
     return out.withColumn("bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int"))
 
@@ -119,6 +139,7 @@ def run(
     buckets: int = 64,
     lang: str | None = "en",
     fresh: bool = False,
+    mode: str = "salted",
 ) -> dict:
     """Run (or resume) the extraction job. Returns run metrics."""
     data_path = os.path.join(output, "extracted")
@@ -131,7 +152,7 @@ def run(
     done = [] if fresh else completed_buckets(spark, output)
 
     docs = spark.read.parquet(input_path)
-    plan = extract_df(docs, buckets=buckets, lang=lang, exclude_buckets=done)
+    plan = extract_df(docs, buckets=buckets, lang=lang, exclude_buckets=done, mode=mode)
 
     # dynamic overwrite: a retried pending bucket replaces its partial
     # files instead of appending duplicates (idempotent re-run)
@@ -180,6 +201,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--lang", default="en")
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--mode", default="salted", choices=["salted", "scan-aligned"])
     args = ap.parse_args()
 
     spark = get_spark(app_name="extract_job", cores=args.cores)

@@ -53,6 +53,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4194304"),
         )
     )
+    # shuffle/spill dirs on tmpfs when available: this host's /tmp disk is
+    # slow AND bursty (measured 2x slower with 2.5x run-to-run variance on
+    # the shuffle-heavy extraction job); cluster nodes would use local
+    # NVMe. Override with SPARK_LOCAL_DIRS.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

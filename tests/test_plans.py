@@ -61,6 +61,42 @@ def test_no_python_udfs_in_registered_queries(spark):
         assert "PythonUDF" not in p, name
 
 
+def test_scan_aligned_mode_no_exchange_and_identical_bytes(spark):
+    """scan-aligned extraction must add NO shuffle, and its output must
+    be byte-identical to salted mode (kernel is partitioning-invariant)."""
+    corpus = ensure_corpus(CACHE, 0.001)
+    docs = spark.read.parquet(corpus)
+    aligned = extract_df(docs, buckets=16, mode="scan-aligned")
+    assert plan_checks(aligned)["n_exchanges"] == 0
+    salted = extract_df(docs, buckets=16, mode="salted")
+    cols = ["url", "extracted_text", "error", "bucket"]
+    a = {tuple(r) for r in aligned.select(cols).collect()}
+    b = {tuple(r) for r in salted.select(cols).collect()}
+    assert a == b
+
+
+def test_lsh_self_join_not_broadcast(spark):
+    """The LSH band self-join must be a shuffled hash join: both sides
+    are the same exploded band table, so shuffling lets the signature
+    subtree compute once (ReusedExchange); broadcasting would collect an
+    unbounded table to the driver at corpus scale."""
+    from oct_report_ocr_spark.operators import dedup
+
+    p = formatted(dedup.q_minhash_lsh_pairs(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in p, p[:1500]
+    assert "BroadcastHashJoin" not in p, p[:1500]
+
+
+def test_signature_stages_repartition_wide(spark):
+    """CPU-heavy signature stages must not inherit a single-split scan:
+    the widening repartition has to appear in the plan."""
+    from oct_report_ocr_spark.operators import dedup
+
+    for q in (dedup.q_minhash_signatures, dedup.q_simhash):
+        p = formatted(q(spark, SF_SMOKE))
+        assert "REPARTITION_BY_NUM" in p, p[:1500]
+
+
 def test_extraction_resume_filter_reaches_scan(spark):
     """Resume (exclude_buckets) must prune before the Python stage."""
     corpus = ensure_corpus(CACHE, 0.001)
