@@ -178,6 +178,51 @@ FROM bands a JOIN bands b USING (band_id, band_val)
 WHERE a.doc_id < b.doc_id
 """
 
+BAND_CAP = 4  # max members per band bucket in the capped variant
+
+
+def q_minhash_lsh_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The web-scale form of the LSH join: band buckets larger than
+    BAND_CAP are heavy hitters (boilerplate-identical pages — a single
+    viral template can put 10⁷ docs in one bucket, and the self-join is
+    quadratic per bucket). They are excluded here and belong to a
+    separate exact-dedup pass (q_dedup_exact), which handles identical
+    content in linear time. The membership count comes from a window
+    over the same (band_id, band_val) key the join shuffles on, so the
+    cap adds no extra exchange on the probe side."""
+    from pyspark.sql import Window
+
+    sig = q_minhash_signatures(spark, sf)
+    bands = F.array(
+        *[F.md5(F.concat(F.col(f"h{2*i}"), F.col(f"h{2*i+1}"))) for i in range(N_BANDS)]
+    )
+    exploded = sig.select("doc_id", F.posexplode(bands).alias("band_id", "band_val"))
+    w = Window.partitionBy("band_id", "band_val")
+    eligible = exploded.withColumn("n", F.count(F.lit(1)).over(w)).filter(
+        F.col("n") <= BAND_CAP
+    ).drop("n")
+    a = eligible.alias("a")
+    b = eligible.alias("b").hint("shuffle_hash")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_MINHASH_LSH_PAIRS_CAPPED = _minhash_sql_core() + f"""
+, bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_id, md5(h{2*i} || h{2*i+1}) AS band_val FROM mh" for i in range(N_BANDS))}
+), eligible AS (
+  SELECT doc_id, band_id, band_val FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val) <= {BAND_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM eligible a JOIN eligible b USING (band_id, band_val)
+WHERE a.doc_id < b.doc_id
+"""
+
 
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard between consecutive doc_ids (the verify step
@@ -286,6 +331,7 @@ QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "minhash_lsh_pairs_capped": (q_minhash_lsh_pairs_capped, SQL_MINHASH_LSH_PAIRS_CAPPED),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
 }
