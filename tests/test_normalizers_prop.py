@@ -73,3 +73,14 @@ def test_search_ranges_never_raise(lines):
     rules.rnfl_quadrant_search_range(lines)
     rules.rnfl_clock_search_range(lines)
     rules.pull_fields(lines, rules.route_template(lines))
+
+
+@given(st.text(max_size=200))
+def test_ws_collapse_split_join_equals_regex_form(s):
+    """The segmenter's hot-path whitespace collapse uses
+    `" ".join(s.split())`; byte-identity (the north-rule invariant)
+    relies on it being EXACTLY `re.sub(r"\\s+", " ", s).strip()` for all
+    of Unicode — freeze that equivalence."""
+    import re
+
+    assert " ".join(s.split()) == re.sub(r"\s+", " ", s).strip()
