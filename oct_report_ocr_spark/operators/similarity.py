@@ -220,8 +220,66 @@ SELECT vec_id, centroid_id, cos AS cos_to_centroid FROM ranked WHERE rn = 1
 """
 
 
+def q_ann_ivf_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF query path (nprobe=1): the query vector (vec_id = 0) probes
+    ONLY its own centroid cell — top-10 by cosine among the vectors
+    assigned there, instead of scanning the whole corpus. Composed from
+    q_ann_ivf_assign: one broadcast of the query's cell id, an equi-join
+    on centroid_id, and a cell-local top-k. At 10⁹ vectors this turns
+    per-query work from O(N) into O(N/K)."""
+    assigned = q_ann_ivf_assign(spark, sf)
+    e = load(spark, sf, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qcell = (
+        assigned.filter(F.col("vec_id") == 0)
+        .select(F.col("centroid_id").alias("qc"))
+    )
+    cell = assigned.join(
+        F.broadcast(qcell), assigned.centroid_id == F.col("qc")
+    ).filter(F.col("vec_id") != 0)
+    scored = (
+        cell.select("vec_id")
+        .join(vecs, ["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+SQL_ANN_IVF_PROBE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id BETWEEN 1 AND {IVF_K}),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         ROUND({_DOT_SQL.format(a="v.v", b="c.cv")}
+               / ({_NORM_SQL.format(v="v.v")} * {_NORM_SQL.format(v="c.cv")}), 6) AS cos
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+), assigned AS (
+  SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+), qcell AS (
+  SELECT centroid_id AS qc FROM assigned WHERE vec_id = 0
+), qvec AS (
+  SELECT v AS qv FROM v WHERE vec_id = 0
+)
+SELECT a.vec_id,
+       ROUND({_DOT_SQL.format(a="v.v", b="q.qv")}
+             / ({_NORM_SQL.format(v="v.v")} * {_NORM_SQL.format(v="q.qv")}), 6) AS cos_sim
+FROM assigned a
+JOIN qcell ON a.centroid_id = qcell.qc
+JOIN v ON v.vec_id = a.vec_id
+CROSS JOIN qvec q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
+    "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),
     "embedding_positional": (q_embedding_positional, SQL_EMBEDDING_POSITIONAL),
