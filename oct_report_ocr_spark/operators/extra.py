@@ -397,8 +397,92 @@ WHERE p.key_qty > 45
 """
 
 
+# --------------------------------------------------------------------------
+# Training-pipeline staples: per-group top-k (corpus curation: best docs
+# per source), exact interpolated percentiles (length distribution for
+# batch sizing), and an approx-distinct contract (HLL cardinality checked
+# against the exact count — each engine runs its OWN sketch, the shared
+# contract is the relative-error bound, which is what a pipeline relies on)
+# --------------------------------------------------------------------------
+
+
+def q_grouped_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+SQL_GROUPED_TOPK = """
+SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents WHERE n_chars > 0
+) WHERE rk <= 3
+"""
+
+
+def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles of doc length per source (Spark
+    `percentile` == DuckDB `quantile_cont`, both exact)."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    return d.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_LENGTH_PERCENTILES = """
+SELECT source,
+       ROUND(quantile_cont(n_chars, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 4) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents WHERE n_chars > 0 GROUP BY source
+"""
+
+
+def q_approx_distinct_check(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL cardinality contract: each engine runs its own
+    approx-distinct sketch over doc texts; the comparable output is the
+    exact count plus a flag that the sketch landed within 5% of it —
+    the property a 10¹²-row pipeline actually depends on."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    exact = F.countDistinct("text")
+    approx = F.approx_count_distinct("text", 0.02)
+    return d.groupBy("lang").agg(
+        exact.cast("long").alias("exact_distinct"),
+        (F.abs(approx - exact) / exact < 0.05).alias("approx_within_5pct"),
+    )
+
+
+SQL_APPROX_DISTINCT_CHECK = """
+SELECT lang,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
+       (ABS(approx_count_distinct(text) - COUNT(DISTINCT text))
+        / CAST(COUNT(DISTINCT text) AS DOUBLE) < 0.05) AS approx_within_5pct
+FROM documents WHERE n_chars > 0 GROUP BY lang
+"""
+
+
 QUERIES: dict = {
     "union_multibranch": (q_union_multibranch, SQL_UNION_MULTIBRANCH),
+    "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
+    "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
+    "approx_distinct_check": (q_approx_distinct_check, SQL_APPROX_DISTINCT_CHECK),
     "map_decode": (q_map_decode, SQL_MAP_DECODE),
     "where_string": (q_where_string, SQL_WHERE_STRING),
     "composite_key_join": (q_composite_key_join, SQL_COMPOSITE_KEY_JOIN),
