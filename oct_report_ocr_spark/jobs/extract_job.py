@@ -153,6 +153,14 @@ def run(
 
     docs = spark.read.parquet(input_path)
     plan = extract_df(docs, buckets=buckets, lang=lang, exclude_buckets=done, mode=mode)
+    if mode == "scan-aligned":
+        # the salted mode arrives with one bucket per task, so the
+        # partitioned write below emits one clean file per bucket; the
+        # scan-aligned plan would instead emit up to tasks x buckets
+        # tiny files. Repartition the EXTRACTED rows by bucket — this
+        # shuffle moves main-content text only, a fraction of the raw
+        # html payload the salted mode shuffles.
+        plan = plan.repartition(buckets, "bucket")
 
     # dynamic overwrite: a retried pending bucket replaces its partial
     # files instead of appending duplicates (idempotent re-run)

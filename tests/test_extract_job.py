@@ -119,6 +119,28 @@ def test_partitioning_permutation_invariance(spark, corpus, tmp_path):
     assert sa == sb
 
 
+def test_scan_aligned_run_matches_salted_and_file_layout(spark, corpus, tmp_path, job_out):
+    """run(mode='scan-aligned') must produce the identical row set as
+    the salted run AND one clean file per bucket (the pre-write
+    repartition prevents the tasks x buckets small-file blowup)."""
+    out_ref, _ = job_out
+    out = str(tmp_path / "aligned")
+    stats = extract_job.run(spark, corpus, out, buckets=16, fresh=True, mode="scan-aligned")
+    assert stats["buckets_done"] == 16
+    sa = {
+        (r.url, r.extracted_text, r.error)
+        for r in spark.read.parquet(os.path.join(out, "extracted")).collect()
+    }
+    sb = {
+        (r.url, r.extracted_text, r.error)
+        for r in spark.read.parquet(os.path.join(out_ref, "extracted")).collect()
+    }
+    assert sa == sb
+    for bdir in glob.glob(os.path.join(out, "extracted", "bucket=*")):
+        n_files = len(glob.glob(os.path.join(bdir, "*.parquet")))
+        assert n_files == 1, bdir
+
+
 def test_lang_filter_pushed_to_scan(spark, corpus):
     """The routing predicate must reach the parquet reader (S2 analog:
     BigQuery executed the LIKE server-side; Catalyst must push ours)."""
