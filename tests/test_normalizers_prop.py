@@ -75,6 +75,16 @@ def test_search_ranges_never_raise(lines):
     rules.pull_fields(lines, rules.route_template(lines))
 
 
+@given(st.binary(max_size=4096))
+def test_extract_one_total_on_arbitrary_bytes(payload):
+    """D9 totality: extract_one never raises, whatever the bytes — the
+    result either carries text or an error tag, never both."""
+    from oct_report_ocr_spark.extract import extract_one
+
+    r = extract_one(payload, "https://fuzz.example/x")
+    assert (r.error is None) != (r.extracted_text is None)
+
+
 @given(st.text(max_size=200))
 def test_ws_collapse_split_join_equals_regex_form(s):
     """The segmenter's hot-path whitespace collapse uses
