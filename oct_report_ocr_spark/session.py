@@ -35,12 +35,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bound Arrow batch size so a batch of HTML pages fits worker memory
-        # (SURVEY.md §7.3 risk 3); measured on the extraction hot path,
-        # 128-row batches pipeline ~2x better than 512 (less JVM buffer
-        # pressure, smoother task tail); per-doc size skew is handled by
-        # salting + size-class splitting in jobs/extract_job.py
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        # Arrow batches are bounded BOTH ways (SURVEY.md §7.3 risk 3):
+        # 1024 rows amortizes per-batch Python/Arrow overhead (+21%
+        # throughput vs 128 on the extraction hot path after the kernel
+        # speedups), while 16 MB caps batch BYTES so a run of multi-MB
+        # pages degrades to small/singleton batches instead of OOMing a
+        # worker — row-count-only batching cannot give that guarantee
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # throughput GC measured ~15% faster than G1 on the Arrow-heavy
         # extraction stage (large short-lived buffers, no latency SLO)
