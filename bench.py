@@ -50,11 +50,18 @@ HEADLINE_QUERIES = [
     "group_stats",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_capped",
     "simhash",
     "ann_cosine_bruteforce",
+    "ann_ivf_probe",
     "quality_score",
     "fingerprint",
     "logmar_ladder",
+    "grouped_topk",
+    "length_percentiles",
+    "session_window",
+    "asof_join",
+    "cohort_dag",
 ]
 
 
