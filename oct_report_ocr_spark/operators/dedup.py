@@ -327,8 +327,83 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM dg
 SQL_SIMHASH = _simhash_sql()
 
 
+JACCARD_DUP_THRESHOLD = 0.35
+
+
+def q_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The full near-dup pipeline as ONE composed plan: capped-LSH
+    candidate pairs → exact n-gram Jaccard verify (computed ONLY for
+    candidates — the point of LSH) → per-doc duplicate verdict keeping
+    the lowest doc_id of each verified pair as the survivor. This is
+    the production dataflow at corpus scale: signatures and banding are
+    map-side, the candidate join touches O(collisions) pairs instead of
+    O(n²), and the expensive exact verify runs on that small set."""
+    cand = q_minhash_lsh_pairs_capped(spark, sf)
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    toks = _tokens(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("ws")) - SHINGLE),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i + 1),
+                F.element_at(F.col("ws"), i + 2),
+                F.element_at(F.col("ws"), i + 3),
+            ),
+        )
+    )
+    g = (
+        _wide(spark, d.select("doc_id", toks.alias("ws")).filter(F.size("ws") >= SHINGLE))
+        .select("doc_id", grams.alias("grams"))
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    scored = cand.join(ga, ["doc_a"]).join(gb, ["doc_b"])
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    verified = scored.select(
+        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_DUP_THRESHOLD)
+    # verdict: a doc is a duplicate if it appears as the HIGHER id of
+    # any verified pair; its survivor is the smallest lower-side id
+    return verified.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_dup_links"),
+    )
+
+
+def _dedup_pipeline_sql() -> str:
+    # candidate CTEs from the capped-LSH query, wrapped and joined to
+    # exact gram sets for the verify + verdict stages
+    cand = SQL_MINHASH_LSH_PAIRS_CAPPED.rstrip()
+    return f"""
+WITH cand AS (
+{cand}
+), toks2 AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ws
+  FROM documents WHERE n_chars > 0
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(ws) - {SHINGLE - 1}),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+  FROM toks2 WHERE len(ws) >= {SHINGLE}
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN g a ON a.doc_id = c.doc_a
+  JOIN g b ON b.doc_id = c.doc_b
+)
+SELECT doc_b AS doc_id, MIN(doc_a) AS survivor_doc_id, COUNT(*) AS n_dup_links
+FROM verified WHERE jaccard >= {JACCARD_DUP_THRESHOLD}
+GROUP BY doc_b
+"""
+
+
 QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_pipeline": (q_dedup_pipeline, _dedup_pipeline_sql()),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "minhash_lsh_pairs_capped": (q_minhash_lsh_pairs_capped, SQL_MINHASH_LSH_PAIRS_CAPPED),
