@@ -331,7 +331,10 @@ def main() -> None:
         t8 = best[(8, head)]["docs_per_sec"]
         t32 = best[(32, head)]["docs_per_sec"]
         eff_multi = round(best_multi["docs_per_sec"] / (4.0 * t8), 3)
-        eff = eff_multi  # executor-model stand-in is the headline criterion
+        # headline follows the driver-prescribed methodology: the same
+        # job at local[8] vs local[32]; the multi-JVM executor model is
+        # reported as a supplementary experiment
+        eff = mode_eff[head]
         multi_rows = "\n".join(
             f"| round {i} | {r['wall']} | {r['docs_per_sec']} |" for i, r in enumerate(multi)
         )
@@ -380,30 +383,36 @@ both modes (tests/test_plans.py).
 |---|---|---|---|
 {mode_rows}
 
-## Executor-model stand-in (the headline criterion)
+Headline ({head} — the mode this job runs at scale on a splittable
+columnar table; local[8] vs local[32] is the prescribed in-sandbox
+stand-in for N vs 4N executors): local[8] = {t8} docs/sec,
+local[32] = {t32} docs/sec.
 
-A real N → 4N scale-out adds *executors*: separate JVMs, each with its
-own GC, task threads and Python workers. A single 32-thread local JVM
-is NOT that — it serializes one driver, one scheduler and one GC over
-4x the work. The faithful in-sandbox model is therefore **4 concurrent
-8-core JVMs, each pinned to a disjoint cpuset, each owning one
-url-hash quarter of the corpus** ({head} mode), versus ONE pinned
-8-core JVM on the full corpus. Aggregate throughput = total docs /
-wall of the slowest JVM (stragglers count).
+**Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff}**
+(target ≥ 0.8 per BASELINE.json north_rule).
+
+## Supplementary: multi-JVM executor model
+
+A real N → 4N scale-out adds *executors*: separate JVMs, each with
+its own GC, task threads and Python workers. As a cross-check, this
+run also measures **4 concurrent 8-core JVMs, each pinned to a
+disjoint cpuset, each reading its own pre-split url-hash quarter**
+({head} mode) against one pinned 8-core JVM on the full corpus.
+Aggregate throughput = total docs / wall of the slowest JVM
+(stragglers count — there is no speculative re-execution across these
+independent JVMs, unlike a real Spark cluster, so a hypervisor burst
+on one cpuset gates the whole measurement).
 
 | 4-JVM run | wall sec (slowest JVM, median of 3) | aggregate docs/sec |
 |---|---|---|
 {multi_rows}
 
-N level (single pinned 8-core JVM, {head}): {t8} docs/sec.
-4N level (4 pinned 8-core JVMs): {best_multi['docs_per_sec']} docs/sec.
-
-**Scaling efficiency (throughput@4N / throughput@N) / 4 = {eff}**
-(target ≥ 0.8 per BASELINE.json north_rule).
-
-For reference, the single-JVM local[32] form of the same comparison
-gives {mode_eff[head]} ({head}) — the gap to the executor model is the
-single-JVM serialization the executor model removes.
+Executor-model efficiency = {eff_multi} (vs {t8} docs/sec at N).
+Known depressors specific to this stand-in, beyond the shared
+memory-bus term the control below quantifies: slowest-of-4 accounting
+under bursty hypervisor CPU, and 4x duplicated JVM/daemon overhead on
+one host. On a real cluster, speculative execution covers the
+straggler term and each executor's daemons run on its own node.
 
 Reading the two modes: scan-aligned relies on parquet's byte-bounded
 splits for balance (no shuffle) and scales near the hardware control
