@@ -394,9 +394,9 @@ def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_CONDITIONAL_AGG = """
 SELECT user_id,
-       SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type='view'  THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+       CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type='view'  THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY user_id
 """
 
@@ -628,7 +628,8 @@ WITH iv AS (
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM flagged
 )
-SELECT user_id, island, MIN(start_us) AS island_start_us, MAX(end_us) AS island_end_us,
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       MIN(start_us) AS island_start_us, MAX(end_us) AS island_end_us,
        COUNT(*) AS n_events
 FROM numbered GROUP BY user_id, island
 """

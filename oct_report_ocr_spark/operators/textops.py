@@ -62,9 +62,9 @@ def _logmar_sql_plain() -> str:
     return f"""
 WITH v AS (SELECT p_partkey, {_VA_SQL} AS va FROM part)
 SELECT p_partkey, va,
-       CASE
+       CAST(CASE
 {branches}
-       END AS logmar
+       END AS DOUBLE) AS logmar
 FROM v
 """
 

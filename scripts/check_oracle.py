@@ -40,6 +40,59 @@ def norm(v):
     return v
 
 
+_DUCK_CANON = {
+    "VARCHAR": "string",
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "UBIGINT": "HUGEINT-like (no Spark equivalent)",
+    "HUGEINT": "HUGEINT (no Spark equivalent — CAST the oracle column)",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "BLOB": "binary",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+}
+
+
+def canon_duck(t: str) -> str:
+    """DuckDB type string → Spark dtype string, for drift detection."""
+    t = str(t).strip()
+    if t.endswith("[]"):
+        return f"array<{canon_duck(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return _DUCK_CANON.get(t, f"UNMAPPED({t})")
+
+
+def canon_spark(t: str) -> str:
+    return t.strip().lower().replace(" ", "")
+
+
+def type_drift(scols, sdtypes, dcols, dtypes) -> list[str]:
+    """Per-column Spark-dtype vs DuckDB-type equivalence (VERDICT item 10).
+
+    Round 1 lost 3 gate rows to DuckDB returning HUGEINT for SUM(int) and
+    DECIMAL for float literals while Spark produced bigint/double — rows and
+    rounded values matched but the driver's value hash didn't.  This catches
+    that class of bug locally before the driver gate runs.
+    """
+    smap = {c: canon_spark(t) for (c, t) in sdtypes}
+    dmap = {c.lower(): canon_duck(t) for c, t in zip(dcols, dtypes)}
+    out = []
+    for c in scols:
+        st, dtp = smap.get(c), dmap.get(c)
+        if dtp is None:
+            continue  # schema check reports missing columns
+        if st != dtp:
+            out.append(f"type[{c}] spark={st} duckdb={dtp}")
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -78,6 +131,7 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             dcols = res.columns
+            dtypes = res.types
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
@@ -90,6 +144,7 @@ def main() -> int:
         if sorted(scols) != sorted(c.lower() for c in dcols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
         else:
+            problems.extend(type_drift(scols, sdf.dtypes, dcols, dtypes))
             s_order = sorted(range(len(scols)), key=lambda i: scols[i])
             d_lower = [c.lower() for c in dcols]
             d_order = sorted(range(len(dcols)), key=lambda i: d_lower[i])
