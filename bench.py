@@ -102,6 +102,22 @@ def run_extraction(
     # +45% wall at 32 cores. Relational queries keep AQE on.
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run_extraction_timed(spark, corpus, mode, shard, repeats)
+    finally:
+        # always restore: bench_once shares one session with the
+        # relational queries, which want AQE back on even if a timed
+        # run raises
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _run_extraction_timed(spark, corpus, mode, shard, repeats):
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from oct_report_ocr_spark.jobs.extract_job import extract_df
+
     docs = spark.read.parquet(corpus)
     if shard:
         # executor-model stand-in: this JVM is executor i of k — it owns
@@ -124,7 +140,6 @@ def run_extraction(
         t0 = time.perf_counter()
         _noop_write(plan)
         times.append(time.perf_counter() - t0)
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     return statistics.median(times), n_in
 
 
@@ -208,6 +223,10 @@ def cpu_control(procs: int, seconds: float = 6.0) -> float:
 
 
 def main() -> None:
+    # benchmark runs are bounded and repeat-timed: tmpfs shuffle dirs are
+    # safe here and remove the host's bursty-/tmp noise. Production jobs
+    # do NOT get tmpfs unless they opt in (see session.py).
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="two-parallelism scaling run")
     ap.add_argument("--cores", type=int, default=None)
@@ -306,15 +325,20 @@ def main() -> None:
                             "--repeats", "3", "--mode", "scan-aligned",
                             "--corpus-path", os.path.join(shards_dir, f"shard={i}"),
                         ],
-                        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                         text=True, cwd=REPO,
                     )
                 )
             shard_res = []
-            for p in procs:
-                out, _ = p.communicate()
-                line = [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
-                shard_res.append(json.loads(line))
+            for i, p in enumerate(procs):
+                out, err = p.communicate()
+                lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
+                if p.returncode != 0 or not lines:
+                    raise RuntimeError(
+                        f"shard {i} failed (rc={p.returncode}); "
+                        f"stdout tail: {out[-500:]!r}; stderr tail: {err[-2000:]!r}"
+                    )
+                shard_res.append(json.loads(lines[-1]))
             total_docs = sum(r["n_docs"] for r in shard_res)
             wall = max(r["extract_sec"] for r in shard_res)
             multi.append({"n_docs": total_docs, "wall": wall, "docs_per_sec": round(total_docs / wall, 1)})

@@ -18,6 +18,7 @@ _GATE_PRIORITY = [
     "embedding_dedup_pipeline",
     "doc_metadata",
     "audit_anchors",
+    "lsh_heavy_buckets",
     # ungated in round 1 (entries 50-64)
     "approx_distinct_check",
     "map_decode",

@@ -185,11 +185,19 @@ def q_minhash_lsh_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
     """The web-scale form of the LSH join: band buckets larger than
     BAND_CAP are heavy hitters (boilerplate-identical pages — a single
     viral template can put 10⁷ docs in one bucket, and the self-join is
-    quadratic per bucket). They are excluded here and belong to a
-    separate exact-dedup pass (q_dedup_exact), which handles identical
-    content in linear time. The membership count comes from a window
-    over the same (band_id, band_val) key the join shuffles on, so the
-    cap adds no extra exchange on the probe side."""
+    quadratic per bucket), so they are excluded from the pair join.
+
+    RECALL GAP (explicit): the cap is NOT lossless. q_dedup_exact
+    recovers only byte-identical members of a dropped bucket;
+    near-identical-but-not-exact docs that collide in a heavy bucket
+    are never pairwise compared, and q_dedup_pipeline inherits that
+    loss. At production scale heavy buckets need their own near-dup
+    pass — e.g. re-shingle members on a finer n-gram, or cluster by a
+    secondary signature — before the cap is safe to rely on. The
+    excluded bucket keys are observable via q_lsh_heavy_buckets so the
+    loss is measurable, not silent. The membership count comes from a
+    window over the same (band_id, band_val) key the join shuffles on,
+    so the cap adds no extra exchange on the probe side."""
     from pyspark.sql import Window
 
     sig = q_minhash_signatures(spark, sf)
@@ -221,6 +229,34 @@ SQL_MINHASH_LSH_PAIRS_CAPPED = _minhash_sql_core() + f"""
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM eligible a JOIN eligible b USING (band_id, band_val)
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_lsh_heavy_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Side output for the BAND_CAP recall gap (ADVICE r01): the band
+    buckets q_minhash_lsh_pairs_capped drops, with member counts — the
+    work-list a dedicated heavy-bucket near-dup pass would consume.
+    Same signature→band plan as the capped join (one shuffle on the
+    band key), aggregating instead of self-joining, so at 10¹² docs
+    this costs one pass over the band table regardless of skew."""
+    sig = q_minhash_signatures(spark, sf)
+    bands = F.array(
+        *[F.md5(F.concat(F.col(f"h{2*i}"), F.col(f"h{2*i+1}"))) for i in range(N_BANDS)]
+    )
+    exploded = sig.select("doc_id", F.posexplode(bands).alias("band_id", "band_val"))
+    return (
+        exploded.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > BAND_CAP)
+    )
+
+
+SQL_LSH_HEAVY_BUCKETS = _minhash_sql_core() + f"""
+, bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_id, md5(h{2*i} || h{2*i+1}) AS band_val FROM mh" for i in range(N_BANDS))}
+)
+SELECT CAST(band_id AS INT) AS band_id, band_val, COUNT(*) AS n_members
+FROM bands GROUP BY band_id, band_val HAVING COUNT(*) > {BAND_CAP}
 """
 
 
@@ -407,6 +443,7 @@ QUERIES: dict = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "minhash_lsh_pairs_capped": (q_minhash_lsh_pairs_capped, SQL_MINHASH_LSH_PAIRS_CAPPED),
+    "lsh_heavy_buckets": (q_lsh_heavy_buckets, SQL_LSH_HEAVY_BUCKETS),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
 }

@@ -55,11 +55,18 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4194304"),
         )
     )
-    # shuffle/spill dirs on tmpfs when available: this host's /tmp disk is
-    # slow AND bursty (measured 2x slower with 2.5x run-to-run variance on
-    # the shuffle-heavy extraction job); cluster nodes would use local
-    # NVMe. Override with SPARK_LOCAL_DIRS.
-    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+    # Shuffle/spill dirs on tmpfs are OPT-IN (SPARK_GRAFT_TMPFS=1, set by
+    # bench.py): this host's /tmp disk is slow AND bursty (measured 2x
+    # slower with 2.5x run-to-run variance on the shuffle-heavy extraction
+    # job), but tmpfs spill is RAM — fine for bounded benchmark runs,
+    # wrong as a default because a job that would degrade by spilling to
+    # disk instead hits no-space/memory pressure. Cluster nodes use local
+    # NVMe via SPARK_LOCAL_DIRS.
+    if (
+        os.environ.get("SPARK_GRAFT_TMPFS") == "1"
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and os.path.isdir("/dev/shm")
+    ):
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         b = b.config("spark.local.dir", shm)
