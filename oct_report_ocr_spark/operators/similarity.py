@@ -277,6 +277,69 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 """
 
 
+def q_embedding_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup as ONE composed scale-path plan (VERDICT r01
+    item 4), mirroring q_dedup_pipeline's LSH-then-verify dataflow:
+    random-hyperplane bucketing (map-only, q_ann_lsh_bucket) → candidate
+    pairs via an EQUI-join on the bucket key (hash join — never a
+    nested-loop cross product; gated by tests/test_plans.py) → exact
+    cosine verify computed only for candidates → survivor verdict
+    keeping the lowest vec_id of each verified pair.
+
+    At 10⁹ vectors the bucket join touches O(collisions) pairs instead
+    of O(n²); q_embedding_near_dup remains the small-sf exactness
+    baseline that scores every pair. Recall is bounded by the bucketing
+    (pairs split across all 8 bit-planes are never compared) — the same
+    explicit trade q_minhash_lsh_pairs_capped documents."""
+    b = q_ann_lsh_bucket(spark, sf)
+    e = load(spark, sf, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    bv = b.join(vecs, ["vec_id"])
+    left = bv.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    right = bv.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    pairs = left.join(right, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _cos(F.col("va"), F.col("vb"))
+    verified = pairs.select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") > NEAR_DUP_THRESHOLD)
+    return verified.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("survivor_vec_id"),
+        F.count(F.lit(1)).alias("n_dup_links"),
+    )
+
+
+def _embedding_dedup_sql() -> str:
+    terms = []
+    for p in range(N_PLANES):
+        weights = ", ".join(str(float(_plane_weight(p, d))) for d in range(DIM))
+        terms.append(
+            f"(CASE WHEN list_reduce(list_transform(range(1, {DIM + 1}), "
+            f"i -> v[i] * ([{weights}])[i]), (a,b) -> a + b) >= 0 "
+            f"THEN {2**p} ELSE 0 END)"
+        )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bv AS (
+  SELECT vec_id, CAST({" + ".join(terms)} AS BIGINT) AS bucket, v FROM v
+), verified AS (
+  SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         ROUND({_DOT_SQL.format(a="a.v", b="bb.v")}
+               / ({_NORM_SQL.format(v="a.v")} * {_NORM_SQL.format(v="bb.v")}), 6) AS cos_sim
+  FROM bv a JOIN bv bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT vec_b AS vec_id, MIN(vec_a) AS survivor_vec_id, COUNT(*) AS n_dup_links
+FROM verified WHERE cos_sim > {NEAR_DUP_THRESHOLD}
+GROUP BY vec_b
+"""
+
+
+SQL_EMBEDDING_DEDUP_PIPELINE = _embedding_dedup_sql()
+
+
 QUERIES: dict = {
     "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
@@ -285,4 +348,5 @@ QUERIES: dict = {
     "embedding_positional": (q_embedding_positional, SQL_EMBEDDING_POSITIONAL),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
+    "embedding_dedup_pipeline": (q_embedding_dedup_pipeline, SQL_EMBEDDING_DEDUP_PIPELINE),
 }

@@ -42,6 +42,17 @@ def test_dim_join_uses_broadcast(spark):
     assert c["n_sortmerge_joins"] == 0, c
 
 
+def test_embedding_dedup_pipeline_no_nested_loop(spark):
+    """VERDICT r01 item 4: the candidate-pair stage must be an
+    equi-join on the LSH bucket key (hash join) — a nested-loop /
+    cartesian pair generator is O(n²) and dead at 10⁹ vectors. The
+    only tolerated cross product is none."""
+    from oct_report_ocr_spark.operators import similarity
+
+    c = plan_checks(similarity.q_embedding_dedup_pipeline(spark, SF_SMOKE))
+    assert c["n_nested_loop_joins"] == 0, c
+
+
 def test_codegen_covers_relational_plan(spark):
     """Whole-stage codegen spans exist (JVM-side execution, no Python
     in the relational path). AQE reveals them only post-execution."""
