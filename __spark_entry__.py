@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = spark.read.parquet(corpus)
     out = extract_df(docs, buckets=16, lang="en")
     return out.select(
-        "url", "warc_ts", "extracted_text", "template", "n_lines", "n_spans", "error"
+        "url", "warc_ts", "extracted_text", "template", "n_lines", "n_spans", "error",
+        "meta",
     )
 
 

@@ -296,7 +296,7 @@ def main() -> None:
         # single-JVM levels read a page-cached (i.e. RAM-resident)
         # corpus, so RAM-resident shards keep the comparison symmetric —
         # and model executors reading from fast node-local storage.
-        shards_dir = os.path.join(shm_root, f"corpus_sf{scaling_sf}_seed42_shards4")
+        shards_dir = os.path.join(shm_root, f"corpus_v2_sf{scaling_sf}_seed42_shards4")
         if not os.path.isdir(shards_dir):
             from oct_report_ocr_spark.session import get_spark
             from oct_report_ocr_spark.synth.gen_corpus import ensure_corpus

@@ -42,6 +42,10 @@ class ExtractResult:
     n_blocks: int = 0
     n_lines: int = 0
     error: str | None = None
+    # typed head projection (S12 depth): dict with keys title,
+    # meta_description, charset, canonical_url, og_type — None until
+    # the payload decodes, then always a dict (values may be None)
+    meta: dict | None = None
 
 
 def _spans_for_fields(
@@ -83,10 +87,12 @@ def extract_one(html: bytes | None, url: str) -> ExtractResult:
         except (ValueError, UnicodeDecodeError):
             return ExtractResult(url=url, extracted_text=None, error="decode-error")
 
+        meta = htmlseg.page_metadata(text)
         lines, n_blocks = htmlseg.extract_lines(text)
         if not lines:
             return ExtractResult(
-                url=url, extracted_text=None, n_blocks=n_blocks, error="no-content"
+                url=url, extracted_text=None, n_blocks=n_blocks, error="no-content",
+                meta=meta,
             )
 
         extracted_text = "\n".join(lines)
@@ -106,6 +112,7 @@ def extract_one(html: bytes | None, url: str) -> ExtractResult:
             template=template,
             n_blocks=n_blocks,
             n_lines=len(lines),
+            meta=meta,
         )
     except Exception as e:  # noqa: BLE001 — D9: one bad doc never fails the job
         return ExtractResult(

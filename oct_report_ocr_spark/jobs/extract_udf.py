@@ -32,6 +32,11 @@ SPAN_TYPE = pa.struct(
     ]
 )
 
+# typed head projection (S12: the reference's 14-attr DICOM metadata
+# pull, utils.py:1602-1619, re-expressed for web pages)
+META_FIELDS = ("title", "meta_description", "charset", "canonical_url", "og_type")
+META_TYPE = pa.struct([pa.field(f, pa.string()) for f in META_FIELDS])
+
 OUTPUT_SCHEMA = pa.schema(
     [
         pa.field("url", pa.string()),
@@ -43,6 +48,7 @@ OUTPUT_SCHEMA = pa.schema(
         pa.field("n_lines", pa.int32()),
         pa.field("n_spans", pa.int32()),
         pa.field("error", pa.string()),
+        pa.field("meta", META_TYPE),
     ]
 )
 
@@ -50,7 +56,9 @@ OUTPUT_SCHEMA = pa.schema(
 OUTPUT_DDL = (
     "url string, warc_ts timestamp, extracted_text string, "
     "spans array<struct<label:string,start:int,end:int,text:string>>, "
-    "template string, n_blocks int, n_lines int, n_spans int, error string"
+    "template string, n_blocks int, n_lines int, n_spans int, error string, "
+    "meta struct<title:string,meta_description:string,charset:string,"
+    "canonical_url:string,og_type:string>"
 )
 
 
@@ -71,6 +79,8 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     sp_end: list[int] = []
     sp_text: list[str] = []
     sp_offsets: list[int] = [0]
+    meta_cols: dict[str, list[str | None]] = {f: [] for f in META_FIELDS}
+    meta_valid: list[bool] = []
 
     for url, html in zip(urls, htmls):
         r = extract_one(html, url)
@@ -80,6 +90,9 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
         n_lines.append(r.n_lines)
         n_spans.append(len(r.spans))
         errors.append(r.error)
+        meta_valid.append(r.meta is not None)
+        for f in META_FIELDS:
+            meta_cols[f].append(r.meta.get(f) if r.meta else None)
         for s in r.spans:
             sp_label.append(s.label)
             sp_start.append(s.start)
@@ -110,6 +123,11 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             pa.array(n_lines, pa.int32()),
             pa.array(n_spans, pa.int32()),
             pa.array(errors, pa.string()),
+            pa.StructArray.from_arrays(
+                [pa.array(meta_cols[f], pa.string()) for f in META_FIELDS],
+                fields=list(META_TYPE),
+                mask=pa.array([not v for v in meta_valid]),
+            ),
         ],
         schema=OUTPUT_SCHEMA,
     )

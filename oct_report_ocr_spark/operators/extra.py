@@ -478,7 +478,89 @@ FROM documents WHERE n_chars > 0 GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# S12 depth — typed head-metadata projection as a pure-expression operator
+# (utils.py:1602-1619: 14 ds.* DICOM attrs → typed row; here the 5-field
+# web head projection). The gate variant synthesizes a deterministic
+# <head> from documents columns IDENTICALLY in both engines, then pulls
+# the fields with the same regexes extract/htmlseg.page_metadata uses in
+# the Arrow path — so the driver gate checks the puller's regex
+# semantics engine-for-engine while the golden suite checks the Python
+# twin byte-for-byte.
+# --------------------------------------------------------------------------
+
+_META_PATTERNS = {
+    "title": "<title[^>]*>(.*?)</title>",
+    "meta_description": '<meta name="description" content="([^"]*)"',
+    "charset": 'charset="([A-Za-z0-9_-]+)"',
+    "canonical_url": '<link rel="canonical" href="([^"]*)"',
+    "og_type": '<meta property="og:type" content="([^"]*)"',
+}
+
+
+def q_doc_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    head = F.concat(
+        F.lit('<head><meta charset="utf-8"><title>'),
+        F.col("source"), F.lit(" doc "), sid, F.lit("</title>"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(F.lit('<meta name="description" content="Summary of doc '), sid, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit('<link rel="canonical" href="https://example.com/d/'), sid, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(
+                F.lit('<meta property="og:type" content="'),
+                F.when(F.col("doc_id") % 2 == 1, F.lit("article")).otherwise(F.lit("website")),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    cols = [F.col("doc_id")]
+    for name, pat in _META_PATTERNS.items():
+        cols.append(F.nullif(F.regexp_extract(head, pat, 1), F.lit("")).alias(name))
+    return d.select(*cols)
+
+
+def _doc_metadata_sql() -> str:
+    pulls = ",\n       ".join(
+        f"nullif(regexp_extract(head, '{pat}', 1), '') AS {name}"
+        for name, pat in _META_PATTERNS.items()
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         '<head><meta charset="utf-8"><title>' || source || ' doc ' || doc_id::VARCHAR || '</title>'
+         || CASE WHEN doc_id % 5 <> 0
+                 THEN '<meta name="description" content="Summary of doc ' || doc_id::VARCHAR || '">'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN '<link rel="canonical" href="https://example.com/d/' || doc_id::VARCHAR || '">'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 <> 0
+                 THEN '<meta property="og:type" content="'
+                      || CASE WHEN doc_id % 2 = 1 THEN 'article' ELSE 'website' END || '">'
+                 ELSE '' END
+         || '</head>' AS head
+  FROM documents
+)
+SELECT doc_id,
+       {pulls}
+FROM h
+"""
+
+
+SQL_DOC_METADATA = _doc_metadata_sql()
+
+
 QUERIES: dict = {
+    "doc_metadata": (q_doc_metadata, SQL_DOC_METADATA),
     "union_multibranch": (q_union_multibranch, SQL_UNION_MULTIBRANCH),
     "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
     "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),

@@ -80,6 +80,7 @@ def main() -> None:
                     "error": r.error,
                     "n_lines": r.n_lines,
                     "n_blocks": r.n_blocks,
+                    "meta": r.meta,
                     "truth": d["_truth"],
                 },
                 f,

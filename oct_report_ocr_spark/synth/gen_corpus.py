@@ -80,10 +80,27 @@ def _footer(rng: random.Random) -> str:
     return f"<footer><div>{links}</div></footer>"
 
 
-def _chrome_head(title: str) -> str:
+def _chrome_head(title: str, doc_id: int | None = None) -> str:
+    """Page chrome with a typed-metadata head (S12 analog). All head
+    metadata derives from doc_id ONLY — no rng draws — so enriching the
+    head never shifts the body/url random streams. Presence varies by
+    doc_id residues so absent-field paths are exercised; the description
+    carries an HTML entity to exercise unescaping."""
+    extra = ""
+    if doc_id is not None:
+        if doc_id % 5 != 0:
+            extra += (
+                f'<meta name="description" content="Summary &amp; notes for '
+                f'{title} page {doc_id}">'
+            )
+        if doc_id % 3 != 0:
+            extra += f'<link rel="canonical" href="https://canonical.example.org/p/{doc_id}">'
+        if doc_id % 7 != 0:
+            og = "article" if doc_id % 2 else "website"
+            extra += f'<meta property="og:type" content="{og}">'
     return (
         "<!DOCTYPE html><html><head>"
-        f"<meta charset=\"utf-8\"><title>{title}</title>"
+        f"<meta charset=\"utf-8\"><title>{title}</title>{extra}"
         "<style>body{margin:0;font:14px sans}.x{color:#333}</style>"
         "<script>var q=1;function t(){return q+1}</script>"
         "</head><body>"
@@ -264,13 +281,13 @@ def make_doc(seed: int, doc_id: int) -> dict:
         if kind == 0:
             html, template = b"", "dirty-empty"
         elif kind == 1:
-            page = _chrome_head("truncated page") + _nav(rng)
+            page = _chrome_head("truncated page", doc_id) + _nav(rng)
             html, template = page.encode("utf-8")[:120], "dirty-truncated"
         else:
             html, template = b"\xff\xfe\x00\x9c" + bytes(rng.randrange(256) for _ in range(64)), "dirty-utf8"
     elif roll < 0.02:  # huge skew page
         body = _generic_body(rng, huge=True)
-        html = (_chrome_head("huge page") + _nav(rng) + body + _footer(rng) + "</body></html>").encode("utf-8")
+        html = (_chrome_head("huge page", doc_id) + _nav(rng) + body + _footer(rng) + "</body></html>").encode("utf-8")
         template = "huge"
     else:
         r2 = rng.random()
@@ -283,7 +300,7 @@ def make_doc(seed: int, doc_id: int) -> dict:
         else:
             body, template = _generic_body(rng), "generic"
             title = "article"
-        html = (_chrome_head(title) + _nav(rng) + body + _footer(rng) + "</body></html>").encode("utf-8")
+        html = (_chrome_head(title, doc_id) + _nav(rng) + body + _footer(rng) + "</body></html>").encode("utf-8")
 
     naive_text = None
     if template not in ("dirty-empty", "dirty-utf8"):
@@ -349,7 +366,9 @@ def generate_parquet(out_path: str, sf: float, seed: int = 42, row_group_docs: i
 
 
 def corpus_path(root: str, sf: float, seed: int = 42) -> str:
-    return os.path.join(root, f"corpus_sf{sf}_seed{seed}", "documents_html.parquet")
+    # v2: head carries the typed metadata projection (title/description/
+    # canonical/og:type) — the version tag invalidates stale caches
+    return os.path.join(root, f"corpus_v2_sf{sf}_seed{seed}", "documents_html.parquet")
 
 
 def ensure_corpus(root: str, sf: float, seed: int = 42) -> str:

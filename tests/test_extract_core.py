@@ -46,6 +46,7 @@ def test_golden_byte_identity(case):
     assert r.error == meta["error"]
     assert r.template == meta["template"]
     assert r.n_lines == meta["n_lines"]
+    assert r.meta == meta["meta"]  # typed head projection (S12)
 
 
 @pytest.mark.parametrize("case", CASES)
@@ -121,3 +122,57 @@ def test_turbo_scanner_matches_htmlparser_reference():
         ], d["url"]
         checked += 1
     assert checked > 1000
+
+
+def test_page_metadata_planted_truth():
+    """page_metadata must recover the head metadata the generator plants
+    (deterministic doc_id residues — see gen_corpus._chrome_head)."""
+    from oct_report_ocr_spark.extract import htmlseg
+
+    checked = 0
+    for i in range(400):
+        d = make_doc(42, i)
+        if d["_template"].startswith("dirty"):
+            continue
+        m = htmlseg.page_metadata(htmlseg.decode_html(d["html"]))
+        assert m["charset"] == "utf-8"
+        assert m["title"] in ("GCC OU Analysis", "ONH and RNFL OU Analysis", "article", "huge page")
+        if i % 5 != 0:
+            assert m["meta_description"] == f"Summary & notes for {m['title']} page {i}"
+        else:
+            assert m["meta_description"] is None
+        if i % 3 != 0:
+            assert m["canonical_url"] == f"https://canonical.example.org/p/{i}"
+        else:
+            assert m["canonical_url"] is None
+        if i % 7 != 0:
+            assert m["og_type"] == ("article" if i % 2 else "website")
+        else:
+            assert m["og_type"] is None
+        checked += 1
+    assert checked > 300
+
+
+def test_page_metadata_edge_cases():
+    from oct_report_ocr_spark.extract.htmlseg import page_metadata
+
+    # attribute order reversed, single quotes, entity in title
+    m = page_metadata(
+        "<head><meta content=\"rev order\" name='description'>"
+        "<title> A &amp; B </title></head>"
+    )
+    assert m["title"] == "A & B"
+    assert m["meta_description"] == "rev order"
+    assert m["charset"] is None
+    # no head close: only the first 16 KiB scanned
+    far = "x" * 20000 + "<title>too late</title>"
+    assert page_metadata(far)["title"] is None
+    # og:type and canonical
+    m = page_metadata(
+        '<head><link rel="canonical" href="https://e.com/a">'
+        '<meta property="og:type" content="video"></head>'
+    )
+    assert m["canonical_url"] == "https://e.com/a"
+    assert m["og_type"] == "video"
+    # empty content → None, not ""
+    assert page_metadata('<head><title>  </title></head>')["title"] is None

@@ -55,6 +55,7 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {
-        "url", "warc_ts", "extracted_text", "template", "n_lines", "n_spans", "error"
+        "url", "warc_ts", "extracted_text", "template", "n_lines", "n_spans", "error",
+        "meta",
     }
     assert all(r.url for r in rows)
