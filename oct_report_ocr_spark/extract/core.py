@@ -31,6 +31,7 @@ class Span:
     start: int
     end: int
     text: str
+    line_idx: int = -1  # index into the extracted line list (-1: synthetic)
 
 
 @dataclass
@@ -63,15 +64,17 @@ def _spans_for_fields(
     spans: list[Span] = []
     for f in fields:
         if f.line_idx < 0 or f.line_idx >= len(lines):
-            spans.append(Span(f.label, -1, -1, f.value))
+            spans.append(Span(f.label, -1, -1, f.value, -1))
             continue
         base = line_offsets[f.line_idx]
         line = lines[f.line_idx]
         pos = line.find(f.value)
         if pos >= 0:
-            spans.append(Span(f.label, base + pos, base + pos + len(f.value), f.value))
+            spans.append(
+                Span(f.label, base + pos, base + pos + len(f.value), f.value, f.line_idx)
+            )
         else:
-            spans.append(Span(f.label, base, base + len(line), f.value))
+            spans.append(Span(f.label, base, base + len(line), f.value, f.line_idx))
     return spans
 
 

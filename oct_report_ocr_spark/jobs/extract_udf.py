@@ -29,6 +29,7 @@ SPAN_TYPE = pa.struct(
         pa.field("start", pa.int32()),
         pa.field("end", pa.int32()),
         pa.field("text", pa.string()),
+        pa.field("line_idx", pa.int32()),
     ]
 )
 
@@ -55,7 +56,7 @@ OUTPUT_SCHEMA = pa.schema(
 # Spark-side DDL mirror of OUTPUT_SCHEMA (keep in sync)
 OUTPUT_DDL = (
     "url string, warc_ts timestamp, extracted_text string, "
-    "spans array<struct<label:string,start:int,end:int,text:string>>, "
+    "spans array<struct<label:string,start:int,end:int,text:string,line_idx:int>>, "
     "template string, n_blocks int, n_lines int, n_spans int, error string, "
     "meta struct<title:string,meta_description:string,charset:string,"
     "canonical_url:string,og_type:string>"
@@ -78,6 +79,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
     sp_start: list[int] = []
     sp_end: list[int] = []
     sp_text: list[str] = []
+    sp_line_idx: list[int] = []
     sp_offsets: list[int] = [0]
     meta_cols: dict[str, list[str | None]] = {f: [] for f in META_FIELDS}
     meta_valid: list[bool] = []
@@ -98,6 +100,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
             sp_start.append(s.start)
             sp_end.append(s.end)
             sp_text.append(s.text)
+            sp_line_idx.append(s.line_idx)
         sp_offsets.append(len(sp_label))
 
     spans_arr = pa.ListArray.from_arrays(
@@ -108,6 +111,7 @@ def extract_record_batch(batch: pa.RecordBatch) -> pa.RecordBatch:
                 pa.array(sp_start, pa.int32()),
                 pa.array(sp_end, pa.int32()),
                 pa.array(sp_text, pa.string()),
+                pa.array(sp_line_idx, pa.int32()),
             ],
             fields=list(SPAN_TYPE),
         ),

@@ -479,6 +479,51 @@ FROM documents WHERE n_chars > 0 GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# D8 gate twin — anchor-with-context as a relational operator. The real
+# audit artifact (sources/io.audit_render) anchors extracted field
+# values to their source line ±1 line of context over the extraction
+# output, which DuckDB cannot reproduce; this query expresses the SAME
+# anchor±context semantics over the documents table (token anchors,
+# lag/lead neighbours) so the driver gate can verify the windowing
+# engine-for-engine, while tests/test_sources_io.py pins the real
+# artifact against the golden fixtures.
+# --------------------------------------------------------------------------
+
+
+def q_audit_anchors(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    toks = d.select("doc_id", F.posexplode(_toks()).alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = toks.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        "token",
+        F.lag("token", 1).over(w).alias("context_before"),
+        F.lead("token", 1).over(w).alias("context_after"),
+    )
+    return ctx.filter(F.col("token") == "table")
+
+
+SQL_AUDIT_ANCHORS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE n_chars > 0),
+e AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+         unnest(toks) AS token
+  FROM t
+), ctx AS (
+  SELECT doc_id, pos, token,
+         LAG(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS context_before,
+         LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS context_after
+  FROM e
+)
+SELECT * FROM ctx WHERE token = 'table'
+"""
+
+
+# --------------------------------------------------------------------------
 # S12 depth — typed head-metadata projection as a pure-expression operator
 # (utils.py:1602-1619: 14 ds.* DICOM attrs → typed row; here the 5-field
 # web head projection). The gate variant synthesizes a deterministic
@@ -561,6 +606,7 @@ SQL_DOC_METADATA = _doc_metadata_sql()
 
 QUERIES: dict = {
     "doc_metadata": (q_doc_metadata, SQL_DOC_METADATA),
+    "audit_anchors": (q_audit_anchors, SQL_AUDIT_ANCHORS),
     "union_multibranch": (q_union_multibranch, SQL_UNION_MULTIBRANCH),
     "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
     "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),

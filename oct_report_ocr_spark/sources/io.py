@@ -57,6 +57,37 @@ def audit_rows(extracted: DataFrame) -> DataFrame:
     )
 
 
+def audit_render(extracted: DataFrame) -> DataFrame:
+    """D8 reviewable artifact (VERDICT r01 item 8): one audit row per
+    extracted field, anchored to its source line with ±1 line of
+    context — the text analog of the reference's annotated overlay
+    JPEGs (extract_gcc_report_text_ou.py:148-187: value boxes drawn on
+    the report raster for human review; here: the value, the exact
+    line it came from, and the neighbouring lines a reviewer needs to
+    judge it without opening the page).
+
+    Pure JVM expressions (split + explode + element_at) — no Python,
+    no window, no shuffle beyond the explode, so rendering an audit
+    table for 10¹² docs is a map-only pass over the extracted table.
+    Synthetic spans (line_idx = -1) render with NULL line/context."""
+    ok = extracted.filter(F.col("error").isNull())
+    lines = F.split(F.col("extracted_text"), "\n")
+    li = F.col("s.line_idx")
+    return ok.select(
+        "url", "template", lines.alias("_lines"), F.explode("spans").alias("s")
+    ).select(
+        "url",
+        "template",
+        F.col("s.label").alias("label"),
+        F.col("s.text").alias("value"),
+        li.alias("line_idx"),
+        # element_at is 1-based; out-of-range / -1 → NULL via try_element_at
+        F.when(li >= 1, F.try_element_at("_lines", li)).alias("context_before"),
+        F.when(li >= 0, F.try_element_at("_lines", li + 1)).alias("line"),
+        F.when(li >= 0, F.try_element_at("_lines", li + 2)).alias("context_after"),
+    )
+
+
 def export_binary_subset(docs: DataFrame, predicate, out_path: str) -> None:
     """S13: bulk filtered binary export (utils.py:1790-1817) — a
     filter + binary projection written distributed, no driver loop."""

@@ -66,7 +66,7 @@ def main() -> None:
             f.write((r.extracted_text or "").encode("utf-8"))
         with open(os.path.join(golden, f"{case}.spans.json"), "w") as f:
             json.dump(
-                [{"label": s.label, "start": s.start, "end": s.end, "text": s.text} for s in r.spans],
+                [{"label": s.label, "start": s.start, "end": s.end, "text": s.text, "line_idx": s.line_idx} for s in r.spans],
                 f,
                 indent=1,
                 ensure_ascii=False,

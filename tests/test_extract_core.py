@@ -41,7 +41,8 @@ def test_golden_byte_identity(case):
     r = extract_one(html, meta["url"])
     assert (r.extracted_text or "").encode("utf-8") == golden_text
     assert [
-        {"label": s.label, "start": s.start, "end": s.end, "text": s.text} for s in r.spans
+        {"label": s.label, "start": s.start, "end": s.end, "text": s.text, "line_idx": s.line_idx}
+        for s in r.spans
     ] == golden_spans
     assert r.error == meta["error"]
     assert r.template == meta["template"]
