@@ -19,11 +19,38 @@ def test_multimodal_featurize(spark):
     bad = [r for r in out if r.decode_error == "empty"]
     assert len(bad) == 4  # one empty payload per 16
     assert all(len(r.feature) == 8 for r in ok)
-    assert all(0.0 <= x <= 1.0 for r in ok for x in r.feature)
+    # fake features are digest-valued in [0,1]; really-decoded image
+    # features lead with (w, h, …, aspect) > 1 — distinguishable
+    assert all(all(0.0 <= x <= 1.0 for x in r.feature) or r.feature[0] >= 1.0 for r in ok)
     # determinism: same payload → same sha/feature regardless of partitioning
     again = {r.media_id: (r.content_sha256, r.feature) for r in multimodal.featurize(media, partitions=3).collect()}
     for r in out:
         assert again[r.media_id] == (r.content_sha256, r.feature)
+
+
+def test_multimodal_real_decode_in_distributed_path(spark):
+    """VERDICT r01 item 9: the BMP/PPM kernels run inside mapInPandas —
+    decoded rows carry true (w, h, mean-RGB) features, corrupt images
+    land in quarantine, non-decodable kinds keep the fake path."""
+    media = multimodal.synth_media(spark, n=64)
+    out = {r.media_id: r for r in multimodal.featurize(media, partitions=8).collect()}
+    real = corrupt = 0
+    for i in range(64):
+        if not (i % 16) or i % 3:
+            continue  # empty payloads / non-image kinds
+        r = out[i]
+        if i % 13 == 0:
+            assert r.decode_error == "decode:CorruptImage", r
+            corrupt += 1
+        elif i % 5 == 0:
+            w, h = 8 + i % 16, 4 + i % 8
+            payload = multimodal.make_bmp(w, h, seed=i) if i % 2 else multimodal.make_ppm(w, h, seed=i)
+            want = multimodal.image_feature(payload)
+            # array<float> is float32 — compare at float32 precision
+            assert abs(r.feature[0] - w) < 1e-3 and abs(r.feature[1] - h) < 1e-3
+            assert all(abs(a - b) < 1e-4 for a, b in zip(r.feature, want))
+            real += 1
+    assert real >= 3 and corrupt >= 1
 
 
 def test_multimodal_decode_stub_raises():
@@ -31,6 +58,9 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(multimodal.DecodeUnavailable):
         multimodal.decode_image(b"\xff\xd8\xff")
+    # corrupt-but-claimed-supported raises CorruptImage, not Unavailable
+    with pytest.raises(multimodal.CorruptImage):
+        multimodal.decode_image(multimodal.make_bmp(4, 4)[:30])
 
 
 def test_stream_extract_exactly_once(spark, tmp_path):
