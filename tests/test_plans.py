@@ -18,7 +18,7 @@ def test_extraction_plan_single_exchange_and_pushdown(spark):
     scan — re-reading or double-shuffling the html payload is the
     100 TB killer."""
     corpus = ensure_corpus(CACHE, 0.001)
-    plan = extract_df(spark.read.parquet(corpus), buckets=16)
+    plan = extract_df(spark.read.parquet(corpus), buckets=16, mode="salted")
     c = plan_checks(plan)
     assert c["n_exchanges"] == 1, c
     assert any("lang" in pf for pf in c["pushed_filters"]), c
@@ -113,10 +113,11 @@ def test_extraction_resume_filter_reaches_scan(spark):
     corpus = ensure_corpus(CACHE, 0.001)
     plan = extract_df(spark.read.parquet(corpus), buckets=16, exclude_buckets=[0, 1])
     p = formatted(plan)
-    # the bucket-exclusion predicate must sit in the scan-side Filter
-    # (node 2, directly above the parquet scan), not after MapInArrow
+    # the bucket-exclusion predicate must sit in a scan-side Filter,
+    # not after MapInArrow
     m = __import__("re").search(r"NOT cast\(pmod\(xxhash64\(url[^\n]*IN \(0,1\)", p)
     assert m, p[:2000]
-    # node (2) is the Filter directly above the scan (node 1); the
-    # exclusion predicate must appear in ITS condition details
-    assert m.start() > p.index("(2) Filter"), p[:2000]
+    # the details section lists nodes bottom-up in execution order: the
+    # Filter detail carrying the predicate must precede the MapInArrow
+    # detail block (i.e. the filter runs below the Python stage)
+    assert m.start() < p.rindex("MapInArrow"), p[:2000]
