@@ -62,6 +62,10 @@ HEADLINE_QUERIES = [
     "session_window",
     "asof_join",
     "cohort_dag",
+    # round 2 additions
+    "embedding_dedup_pipeline",
+    "doc_metadata",
+    "audit_anchors",
 ]
 
 

@@ -80,3 +80,74 @@ def sessionize_stream(events: DataFrame, gap: str = "1 hour") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def dedup_stream(docs: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Custom stateful streaming operator (§2.9 depth):
+    first-occurrence-wins exact dedup across micro-batches via
+    ``applyInPandasWithState``. State per content fingerprint = the
+    first url seen + a duplicate counter; later arrivals of the same
+    fingerprint are dropped, so the downstream extraction stage never
+    pays for a page the corpus already contains — the streaming form of
+    q_dedup_exact's hash-groupBy.
+
+    Scale posture: state is partitioned by the fingerprint key (one
+    shuffle), each key holds O(1) state (url + count, not the payload),
+    and an event-time timeout pegged to the watermark expires state for
+    fingerprints not seen within ``watermark``, so the store cannot
+    grow unboundedly on an infinite crawl (re-crawls beyond that
+    horizon re-admit a page — the standard bounded-state trade). Rows
+    within a micro-batch are ordered by url so the survivor choice is
+    deterministic per batch; across batches it is arrival-order, as in
+    any streaming dedup. Works identically under
+    ``trigger(availableNow=True)`` incremental batches.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs.withWatermark("warc_ts", watermark).withColumn(
+        "fp", F.xxhash64(F.col("html")).cast("string")
+    )
+
+    def keep_first(key, pdfs, state):
+        fp = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        known = state.get[0] if state.exists else None
+        n_dup = state.get[1] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("url", kind="stable")
+            for url, ts in zip(pdf["url"], pdf["warc_ts"]):
+                if known is None:
+                    known = url
+                    out.append((fp, url, ts))
+                else:
+                    n_dup += 1
+        state.update((known, n_dup))
+        # expire this fingerprint once the watermark passes one
+        # `watermark` horizon beyond now-seen data
+        wm_ms = state.getCurrentWatermarkMs()
+        if wm_ms > 0:
+            state.setTimeoutTimestamp(wm_ms + 24 * 3600 * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "fp": [r[0] for r in out],
+                    "url": [r[1] for r in out],
+                    "warc_ts": pd.Series(
+                        [r[2] for r in out], dtype="datetime64[us, UTC]"
+                    ),
+                }
+            )
+
+    return keyed.groupBy("fp").applyInPandasWithState(
+        keep_first,
+        outputStructType="fp string, url string, warc_ts timestamp",
+        stateStructType="first_url string, n_dup long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -98,3 +98,70 @@ def test_sessionize_stream_batch_form(spark):
     assert len(out) > 0
     assert all(r.session_start <= r.session_end for r in out)
     assert sum(r.n_events for r in out) == ev.count()
+
+
+def test_dedup_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState exact dedup: duplicate payloads across
+    micro-batch files collapse to one survivor per fingerprint, and an
+    incremental second run admits nothing already seen (state lives in
+    the checkpoint)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oct_report_ocr_spark.streaming.stream_extract import CORPUS_DDL, dedup_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    import datetime as dt
+
+    def write_file(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+                    ),
+                    "html": pa.array([r[2] for r in rows], pa.binary()),
+                    "text": pa.array([None] * len(rows), pa.string()),
+                    "lang": ["en"] * len(rows),
+                }
+            ),
+            str(in_dir / name),
+        )
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    # file A: three distinct payloads, one duplicated within the file
+    write_file("a.parquet", [
+        ("u1", t0, b"<p>one</p>"),
+        ("u2", t0, b"<p>two</p>"),
+        ("u3", t0, b"<p>one</p>"),   # dup of u1 (same batch: lowest url wins)
+    ])
+
+    def run_once():
+        docs = spark.readStream.schema(CORPUS_DDL).parquet(str(in_dir))
+        q = (
+            dedup_stream(docs)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    got = {r.url for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"u1", "u2"}
+
+    # file B arrives later: one dup of an already-seen payload, one new
+    write_file("b.parquet", [
+        ("u4", t0 + dt.timedelta(hours=1), b"<p>one</p>"),  # cross-batch dup
+        ("u5", t0 + dt.timedelta(hours=1), b"<p>three</p>"),
+    ])
+    run_once()
+    got = {r.url for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"u1", "u2", "u5"}
