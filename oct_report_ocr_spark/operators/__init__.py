@@ -19,6 +19,8 @@ _GATE_PRIORITY = [
     "doc_metadata",
     "audit_anchors",
     "lsh_heavy_buckets",
+    "dedup_heavy_pass",
+    "dedup_pipeline_full",
     # ungated in round 1 (entries 50-64)
     "approx_distinct_check",
     "map_decode",

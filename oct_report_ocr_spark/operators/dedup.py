@@ -178,7 +178,14 @@ FROM bands a JOIN bands b USING (band_id, band_val)
 WHERE a.doc_id < b.doc_id
 """
 
-BAND_CAP = 4  # max members per band bucket in the capped variant
+# Max members per band bucket in the capped variant. 2 (not the
+# production-ish 16+) so the heavy-bucket machinery — the cap drop,
+# the lsh_heavy_buckets side output, and the sorted-neighborhood
+# recovery pass — is EXERCISED at oracle scale: sf0.01's largest band
+# bucket has 3 members, so a higher cap would make all three paths
+# vacuously green. The semantics are cap-value-independent; both
+# engines share this constant.
+BAND_CAP = 2
 
 
 def q_minhash_lsh_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
@@ -191,11 +198,11 @@ def q_minhash_lsh_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
     recovers only byte-identical members of a dropped bucket;
     near-identical-but-not-exact docs that collide in a heavy bucket
     are never pairwise compared, and q_dedup_pipeline inherits that
-    loss. At production scale heavy buckets need their own near-dup
-    pass — e.g. re-shingle members on a finer n-gram, or cluster by a
-    secondary signature — before the cap is safe to rely on. The
-    excluded bucket keys are observable via q_lsh_heavy_buckets so the
-    loss is measurable, not silent. The membership count comes from a
+    loss. The dedicated recovery exists: q_dedup_heavy_pass runs a
+    bounded sorted-neighborhood comparison over exactly these buckets,
+    and q_dedup_pipeline_full composes both so no candidate class is
+    dropped. The excluded bucket keys are observable via
+    q_lsh_heavy_buckets so the loss is measurable, not silent. The membership count comes from a
     window over the same (band_id, band_val) key the join shuffles on,
     so the cap adds no extra exchange on the probe side."""
     from pyspark.sql import Window
@@ -258,6 +265,143 @@ SQL_LSH_HEAVY_BUCKETS = _minhash_sql_core() + f"""
 SELECT CAST(band_id AS INT) AS band_id, band_val, COUNT(*) AS n_members
 FROM bands GROUP BY band_id, band_val HAVING COUNT(*) > {BAND_CAP}
 """
+
+
+NEIGHBORHOOD = 2  # sorted-neighborhood width inside a heavy bucket
+
+
+def q_dedup_heavy_pass(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedicated heavy-bucket near-dup pass that closes the
+    BAND_CAP recall gap (ADVICE r01 / capped-join docstring): members
+    of dropped band buckets are compared by the SORTED-NEIGHBORHOOD
+    method — order each bucket by a secondary signature (simhash, so
+    near-identical docs sort adjacently), pair each member with its
+    next NEIGHBORHOOD neighbours, then exact-verify with n-gram
+    Jaccard. Cost per heavy bucket is O(members × NEIGHBORHOOD) pairs
+    instead of the O(members²) self-join the cap exists to avoid — a
+    10⁷-member viral-template bucket yields 2×10⁷ candidate pairs, not
+    10¹⁴. One extra shuffle (the window over the band key the plan
+    already shuffles on), map-side everything else.
+
+    Emits verified (doc_a, doc_b, jaccard ≥ threshold) pairs — the
+    exact complement q_minhash_lsh_pairs_capped drops; union the two
+    and the verify stage of q_dedup_pipeline is recall-complete up to
+    neighbourhood width."""
+    from pyspark.sql import Window
+
+    sig = q_minhash_signatures(spark, sf)
+    bands = F.array(
+        *[F.md5(F.concat(F.col(f"h{2*i}"), F.col(f"h{2*i+1}"))) for i in range(N_BANDS)]
+    )
+    exploded = sig.select("doc_id", F.posexplode(bands).alias("band_id", "band_val"))
+    wcount = Window.partitionBy("band_id", "band_val")
+    heavy = exploded.withColumn("n", F.count(F.lit(1)).over(wcount)).filter(
+        F.col("n") > BAND_CAP
+    ).drop("n")
+    # secondary order: simhash clusters near-identical docs adjacently
+    heavy = heavy.join(q_simhash(spark, sf), ["doc_id"])
+    worder = Window.partitionBy("band_id", "band_val").orderBy("simhash", "doc_id")
+    nbr = heavy.select(
+        "band_id",
+        "band_val",
+        "doc_id",
+        "simhash",
+        *[
+            F.lead("doc_id", k).over(worder).alias(f"nbr{k}")
+            for k in range(1, NEIGHBORHOOD + 1)
+        ],
+    )
+    pairs = None
+    for k in range(1, NEIGHBORHOOD + 1):
+        p = nbr.filter(F.col(f"nbr{k}").isNotNull()).select(
+            F.least("doc_id", F.col(f"nbr{k}")).alias("doc_a"),
+            F.greatest("doc_id", F.col(f"nbr{k}")).alias("doc_b"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cand = pairs.distinct()
+    # exact verify: same gram construction as q_dedup_pipeline
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    g = (
+        _wide(
+            spark,
+            d.select("doc_id", _tokens(F.col("text")).alias("ws")).filter(
+                F.size("ws") >= SHINGLE
+            ),
+        )
+        .select("doc_id", _grams_expr().alias("grams"))
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    scored = cand.join(ga, ["doc_a"]).join(gb, ["doc_b"])
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return scored.select(
+        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_DUP_THRESHOLD)
+
+
+def _grams_expr():
+    ws = F.col("ws")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - SHINGLE),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+                F.element_at(ws, i + 3),
+            ),
+        )
+    )
+
+
+def _dedup_heavy_pass_sql() -> str:
+    simhash_bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(md5s, m -> CASE WHEN instr('89abcdef', substr(m, {b + 1}, 1)) > 0 THEN 1 ELSE -1 END)) >= 0 THEN {2**b} ELSE 0 END)"
+        for b in range(16)
+    )
+    nbr_cols = ", ".join(
+        f"LEAD(doc_id, {k}) OVER (PARTITION BY band_id, band_val ORDER BY simhash, doc_id) AS nbr{k}"
+        for k in range(1, NEIGHBORHOOD + 1)
+    )
+    pair_selects = " UNION ALL ".join(
+        f"SELECT LEAST(doc_id, nbr{k}) AS doc_a, GREATEST(doc_id, nbr{k}) AS doc_b FROM nbr WHERE nbr{k} IS NOT NULL"
+        for k in range(1, NEIGHBORHOOD + 1)
+    )
+    return (
+        _minhash_sql_core()
+        + f"""
+, bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_id, md5(h{2*i} || h{2*i+1}) AS band_val FROM mh" for i in range(N_BANDS))}
+), heavy AS (
+  SELECT doc_id, band_id, band_val FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val) > {BAND_CAP}
+), simh AS (
+  SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
+  FROM (SELECT doc_id, list_transform({_TOKENS_SQL}, t -> md5(t)) AS md5s
+        FROM documents WHERE n_chars > 0)
+), hs AS (
+  SELECT h.doc_id, h.band_id, h.band_val, simh.simhash FROM heavy h JOIN simh ON h.doc_id = simh.doc_id
+), nbr AS (
+  SELECT doc_id, band_id, band_val, simhash, {nbr_cols} FROM hs
+), cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM ({pair_selects})
+), toksh AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents WHERE n_chars > 0
+), gr AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(ws) - {SHINGLE} + 1),
+           i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3])) AS grams
+  FROM toksh WHERE len(ws) >= {SHINGLE}
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM cand c JOIN gr a ON c.doc_a = a.doc_id JOIN gr b ON c.doc_b = b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))), 6) >= {JACCARD_DUP_THRESHOLD}
+"""
+    )
 
 
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf: str) -> DataFrame:
@@ -375,37 +519,54 @@ def q_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     map-side, the candidate join touches O(collisions) pairs instead of
     O(n²), and the expensive exact verify runs on that small set."""
     cand = q_minhash_lsh_pairs_capped(spark, sf)
+    verified = _verify_pairs(spark, sf, cand)
+    return _survivor_verdict(verified)
+
+
+def _verify_pairs(spark: SparkSession, sf: str, cand: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard verify over candidate (doc_a, doc_b) pairs."""
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    toks = _tokens(F.col("text"))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("ws")) - SHINGLE),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("ws"), i + 1),
-                F.element_at(F.col("ws"), i + 2),
-                F.element_at(F.col("ws"), i + 3),
+    g = (
+        _wide(
+            spark,
+            d.select("doc_id", _tokens(F.col("text")).alias("ws")).filter(
+                F.size("ws") >= SHINGLE
             ),
         )
-    )
-    g = (
-        _wide(spark, d.select("doc_id", toks.alias("ws")).filter(F.size("ws") >= SHINGLE))
-        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", _grams_expr().alias("grams"))
     )
     ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     scored = cand.join(ga, ["doc_a"]).join(gb, ["doc_b"])
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb")).cast("double")
-    verified = scored.select(
+    return scored.select(
         "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= JACCARD_DUP_THRESHOLD)
+
+
+def _survivor_verdict(verified: DataFrame) -> DataFrame:
     # verdict: a doc is a duplicate if it appears as the HIGHER id of
     # any verified pair; its survivor is the smallest lower-side id
     return verified.groupBy(F.col("doc_b").alias("doc_id")).agg(
         F.min("doc_a").alias("survivor_doc_id"),
         F.count(F.lit(1)).alias("n_dup_links"),
     )
+
+
+def q_dedup_pipeline_full(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall-complete composition: verified pairs from the capped LSH
+    join UNION the heavy-bucket sorted-neighborhood pass, then one
+    survivor verdict. At corpus scale this is the production shape —
+    the cheap equi-join covers normal buckets, the bounded O(members ×
+    NEIGHBORHOOD) pass covers viral-template buckets, and no candidate
+    class is silently dropped (the r01-documented recall gap, closed)."""
+    capped_verified = _verify_pairs(spark, sf, q_minhash_lsh_pairs_capped(spark, sf))
+    heavy_verified = q_dedup_heavy_pass(spark, sf)
+    all_pairs = capped_verified.unionAll(heavy_verified).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    return _survivor_verdict(all_pairs)
 
 
 def _dedup_pipeline_sql() -> str:
@@ -437,6 +598,43 @@ GROUP BY doc_b
 """
 
 
+SQL_DEDUP_HEAVY_PASS = _dedup_heavy_pass_sql()
+
+
+def _dedup_pipeline_full_sql() -> str:
+    capped = SQL_MINHASH_LSH_PAIRS_CAPPED.rstrip()
+    heavy = SQL_DEDUP_HEAVY_PASS.rstrip()
+    return f"""
+WITH capped_cand AS (
+{capped}
+), heavy_verified AS (
+{heavy}
+), toks3 AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ws
+  FROM documents WHERE n_chars > 0
+), g3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(ws) - {SHINGLE - 1}),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+  FROM toks3 WHERE len(ws) >= {SHINGLE}
+), capped_verified AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+  FROM capped_cand c
+  JOIN g3 a ON a.doc_id = c.doc_a
+  JOIN g3 b ON b.doc_id = c.doc_b
+  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= {JACCARD_DUP_THRESHOLD}
+), all_pairs AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM (SELECT doc_a, doc_b FROM capped_verified UNION ALL SELECT doc_a, doc_b FROM heavy_verified)
+)
+SELECT doc_b AS doc_id, MIN(doc_a) AS survivor_doc_id, COUNT(*) AS n_dup_links
+FROM all_pairs GROUP BY doc_b
+"""
+
+
 QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_pipeline": (q_dedup_pipeline, _dedup_pipeline_sql()),
@@ -444,6 +642,8 @@ QUERIES: dict = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "minhash_lsh_pairs_capped": (q_minhash_lsh_pairs_capped, SQL_MINHASH_LSH_PAIRS_CAPPED),
     "lsh_heavy_buckets": (q_lsh_heavy_buckets, SQL_LSH_HEAVY_BUCKETS),
+    "dedup_heavy_pass": (q_dedup_heavy_pass, SQL_DEDUP_HEAVY_PASS),
+    "dedup_pipeline_full": (q_dedup_pipeline_full, _dedup_pipeline_full_sql()),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
 }
