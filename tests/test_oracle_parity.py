@@ -12,7 +12,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry
-from scripts.check_oracle import TABLES, norm
+from scripts.check_oracle import TABLES, norm, type_drift
 
 from .conftest import SF_SMOKE
 
@@ -39,9 +39,13 @@ def test_query_matches_oracle(spark, ddb, name):
         assert srows is not None  # rows-only check for non-SQL ops
         return
     res = ddb.sql(ORACLES[name])
+    dtypes = res.types
     drows, dcols = res.fetchall(), res.columns
     assert len(srows) == len(drows)
     assert sorted(scols) == sorted(c.lower() for c in dcols)
+    # output-type equivalence (VERDICT r01: HUGEINT/DECIMAL drift broke
+    # the driver's value hash while rows and rounded values matched)
+    assert type_drift(scols, sdf.dtypes, dcols, dtypes) == []
     s_order = sorted(range(len(scols)), key=lambda i: scols[i])
     d_lower = [c.lower() for c in dcols]
     d_order = sorted(range(len(dcols)), key=lambda i: d_lower[i])
