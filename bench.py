@@ -105,7 +105,11 @@ def run_extraction(
     # materialization barrier breaks scan→extract pipelining — measured
     # +45% wall at 32 cores. Relational queries keep AQE on.
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # SPARK_GRAFT_EXTRACT_AQE=1 keeps AQE ON for the extraction job
+    # (the --salted-aqe A/B measures whether AQE partition coalescing
+    # helps or hurts the salted exchange)
+    if os.environ.get("SPARK_GRAFT_EXTRACT_AQE") != "1":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _run_extraction_timed(spark, corpus, mode, shard, repeats)
     finally:
@@ -238,6 +242,11 @@ def main() -> None:
         action="store_true",
         help="A/B the salted mode's shuffle codec (lz4 vs zstd) at full cores",
     )
+    ap.add_argument(
+        "--salted-aqe",
+        action="store_true",
+        help="A/B AQE partition coalescing on the salted exchange at full cores",
+    )
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--bench-sf", type=float, default=None)
@@ -246,6 +255,28 @@ def main() -> None:
     ap.add_argument("--shard", default=None, help="i/k: run only url-hash shard i of k")
     ap.add_argument("--corpus-path", default=None, help="read this parquet instead of the cached corpus")
     args = ap.parse_args()
+
+    if args.salted_aqe:
+        tuning_sf = float(os.environ.get("SPARK_GRAFT_TUNING_SF", "0.4"))
+        from oct_report_ocr_spark.synth.gen_corpus import ensure_corpus
+
+        corpus = ensure_corpus(os.path.join(REPO, ".cache"), tuning_sf)
+        results = {}
+        for label, env_extra in (("aqe_off", {}), ("aqe_on", {"SPARK_GRAFT_EXTRACT_AQE": "1"})):
+            env = {**os.environ, **env_extra}
+            out = subprocess.run(
+                [
+                    sys.executable, __file__, "--cores", str(CPUS),
+                    "--extract-only", "--bench-sf", str(tuning_sf),
+                    "--repeats", "3", "--mode", "salted",
+                    "--corpus-path", corpus,
+                ],
+                capture_output=True, text=True, check=True, cwd=REPO, env=env,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            results[label] = json.loads(line)
+        print(json.dumps({"salted_aqe": results}))
+        return
 
     if args.salted_tuning:
         # VERDICT r01 item 6: measure shuffle compression codecs on the
