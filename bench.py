@@ -85,7 +85,7 @@ def run_extraction(
     spark,
     sf: float,
     repeats: int = 1,
-    mode: str = "salted",
+    mode: str = "scan-aligned",
     shard: tuple[int, int] | None = None,
     corpus_path: str | None = None,
 ) -> tuple[float, int]:
@@ -169,7 +169,7 @@ def bench_once(
     extract_only: bool = False,
     sf: float | None = None,
     repeats: int = 1,
-    mode: str = "salted",
+    mode: str = "scan-aligned",
     shard: tuple[int, int] | None = None,
     corpus_path: str | None = None,
 ) -> dict:
@@ -251,7 +251,7 @@ def main() -> None:
     ap.add_argument("--extract-only", action="store_true")
     ap.add_argument("--bench-sf", type=float, default=None)
     ap.add_argument("--repeats", type=int, default=1)
-    ap.add_argument("--mode", default="salted", choices=["salted", "scan-aligned"])
+    ap.add_argument("--mode", default="scan-aligned", choices=["salted", "scan-aligned"])
     ap.add_argument("--shard", default=None, help="i/k: run only url-hash shard i of k")
     ap.add_argument("--corpus-path", default=None, help="read this parquet instead of the cached corpus")
     args = ap.parse_args()

@@ -336,15 +336,25 @@ def n_docs_for_sf(sf: float) -> int:
     return max(1, int(round(500_000 * sf)))
 
 
-def generate_parquet(out_path: str, sf: float, seed: int = 42, row_group_docs: int = 2000) -> int:
+def generate_parquet(out_path: str, sf: float, seed: int = 42, row_group_docs: int = 500) -> int:
     """Write the corpus for scale factor ``sf`` to one parquet file.
 
     Row groups are written incrementally so huge corpora never sit fully
     in memory. Returns the number of documents written.
+
+    Row groups are the parallelism floor for scan-aligned extraction
+    (parquet splits cannot cut inside a row group): 500 docs ≈ 0.6 MB
+    gives a sf0.1 corpus ~80 splits for 32 cores, where 2000-doc groups
+    capped it at 25 tasks and idled a third of the machine. Document
+    BYTES are unchanged by this knob — only the parquet layout.
     """
     n = n_docs_for_sf(sf)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    writer = pq.ParquetWriter(out_path, SCHEMA, compression="zstd")
+    # write-then-rename: a crashed/interrupted generation must never
+    # leave a truncated file at the final path, because ensure_corpus
+    # treats existence as completeness
+    tmp_path = out_path + ".tmp"
+    writer = pq.ParquetWriter(tmp_path, SCHEMA, compression="zstd")
     try:
         for lo in range(0, n, row_group_docs):
             hi = min(lo + row_group_docs, n)
@@ -360,8 +370,13 @@ def generate_parquet(out_path: str, sf: float, seed: int = 42, row_group_docs: i
                 schema=SCHEMA,
             )
             writer.write_batch(batch)
-    finally:
+    except BaseException:
         writer.close()
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        raise
+    writer.close()
+    os.replace(tmp_path, out_path)
     return n
 
 
