@@ -77,3 +77,24 @@ def test_page_metadata_roundtrips_planted_values(title, desc):
     assert m["charset"] == "utf-8"
     assert m["canonical_url"] == "https://e.com/x"
     assert m["og_type"] == "article"
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=150, deadline=None)
+def test_extract_one_total_on_arbitrary_bytes(payload):
+    """D9 invariant under fuzz: extract_one NEVER raises — any byte
+    soup yields either extracted text or an error row."""
+    from oct_report_ocr_spark.extract import extract_one
+
+    r = extract_one(payload, "fuzz://doc")
+    assert (r.extracted_text is None) == (r.error is not None)
+    if r.error is None:
+        assert r.n_lines > 0
+
+
+@given(st.binary(min_size=1, max_size=2048))
+@settings(max_examples=80, deadline=None)
+def test_extract_one_deterministic_under_fuzz(payload):
+    from oct_report_ocr_spark.extract import extract_one
+
+    assert extract_one(payload, "u") == extract_one(payload, "u")
