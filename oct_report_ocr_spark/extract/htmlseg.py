@@ -328,7 +328,46 @@ def extract_lines(html_text: str) -> tuple[list[str], int]:
     Returns (lines, n_blocks_total). ``lines`` is the ``txts`` analog —
     the positionally ordered list every rule indexes into
     (extract_gcc_report_text_ou.py:72).
-    """
-    blocks = segment_blocks_turbo(html_text)
-    lines = [b.text for b in blocks if keep_block(b)]
-    return lines, len(blocks)
+
+    Fused form of ``segment_blocks_turbo`` + ``keep_block`` (round 2):
+    the keep decision is inlined per chunk so no Block dataclass is
+    constructed on the hot path — measured 1.36× on the dominant
+    extraction stage. ``lc * 3 > n`` is the exact integer form of
+    ``link_density > 1/3``: float(lc)/float(n) rounds the true ratio
+    to the same double as float(1)/float(3) whenever lc/n == 1/3, so
+    the integer compare and the float compare agree on every input
+    (and the Block-path differential test pins it). The Block-building
+    paths stay as the semantic arbiter for that test."""
+    text = _STRIP_RE.sub("", html_text)
+    lines: list[str] = []
+    total = 0
+    for chunk in _BLOCK_SPLIT_RE.split(text):
+        if not chunk:
+            continue
+        link_chars = 0
+        if "<" in chunk:
+            if "<a" in chunk or "<A" in chunk:
+                for m in _A_RE.finditer(chunk):
+                    inner = _TAGSTRIP_RE.sub("", m.group(1))
+                    if "&" in inner:
+                        inner = _unescape(inner)
+                    link_chars += len(" ".join(inner.split()))
+            chunk = _TAGSTRIP_RE.sub("", chunk)
+        if "&" in chunk:
+            chunk = _unescape(chunk)
+        t = " ".join(chunk.split())
+        if not t:
+            continue
+        total += 1
+        n = len(t)
+        lc = min(link_chars, n)
+        if lc * 3 > n:  # link_density > MAX_LINK_DENSITY (exact)
+            continue
+        if (
+            n >= MIN_CONTENT_CHARS
+            or _DIGIT_RE.search(t)
+            or _KEYVAL_RE.match(t)
+            or (lc == 0 and n >= 8)
+        ):
+            lines.append(t)
+    return lines, total

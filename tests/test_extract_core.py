@@ -121,8 +121,29 @@ def test_turbo_scanner_matches_htmlparser_reference():
         ] == [
             (b.text, b.n_chars, b.n_link_chars, htmlseg.keep_block(b)) for b in turbo
         ], d["url"]
+        # the fused hot path (extract_lines) must agree with the
+        # Block-building arbiter on both outputs
+        lines, n_blocks = htmlseg.extract_lines(text)
+        assert lines == [b.text for b in turbo if htmlseg.keep_block(b)], d["url"]
+        assert n_blocks == len(turbo), d["url"]
         checked += 1
     assert checked > 1000
+
+
+def test_link_density_boundary_exact():
+    """lc*3 > n (fused) must agree with lc/n > 1/3 (Block path) at the
+    exact boundary: a 30-char line with exactly 10 link chars is KEPT
+    by both (density == 1/3 is not > 1/3)."""
+    from oct_report_ocr_spark.extract.htmlseg import Block, keep_block
+
+    for n, lc in [(30, 10), (3, 1), (24, 8), (9, 3)]:
+        b = Block(text="x" * n, n_chars=n, n_link_chars=lc, n_tags=0, depth=0)
+        assert (lc * 3 > n) == (b.link_density > 1 / 3)
+    html = "<p>" + "a" * 20 + " <a href='/x'>" + "b" * 10 + "</a></p>"
+    from oct_report_ocr_spark.extract.htmlseg import extract_lines
+
+    lines, _ = extract_lines(html)
+    assert lines  # 31 chars incl. space, 10 link chars → kept
 
 
 def test_page_metadata_planted_truth():
