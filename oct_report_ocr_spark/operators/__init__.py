@@ -21,6 +21,7 @@ _GATE_PRIORITY = [
     "lsh_heavy_buckets",
     "dedup_heavy_pass",
     "dedup_pipeline_full",
+    "stratified_sample",
     # ungated in round 1 (entries 50-64)
     "approx_distinct_check",
     "map_decode",

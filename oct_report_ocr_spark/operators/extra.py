@@ -604,8 +604,50 @@ FROM h
 SQL_DOC_METADATA = _doc_metadata_sql()
 
 
+# --------------------------------------------------------------------------
+# Training-pipeline extra: deterministic stratified sampling — fixed
+# per-stratum quotas (here: per-lang), selection order by a content
+# hash so the sample is stable across engines, partitionings, and
+# retries. The per-stratum window is the standard scale shape: one
+# shuffle on the stratum key, top-N per group; no driver-side
+# collection, no PRNG (PRNG sequences are engine-specific — md5 is
+# bit-identical everywhere). The P14 analog generalized from a global
+# rate to per-group quotas.
+# --------------------------------------------------------------------------
+
+STRATUM_QUOTA = 40  # docs per lang
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_QUOTA)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("rank_in_stratum"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat:' || doc_id::VARCHAR) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank_in_stratum
+FROM r WHERE rn <= {STRATUM_QUOTA}
+"""
+
+
 QUERIES: dict = {
     "doc_metadata": (q_doc_metadata, SQL_DOC_METADATA),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "audit_anchors": (q_audit_anchors, SQL_AUDIT_ANCHORS),
     "union_multibranch": (q_union_multibranch, SQL_UNION_MULTIBRANCH),
     "grouped_topk": (q_grouped_topk, SQL_GROUPED_TOPK),
