@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -151,16 +152,25 @@ def _run_extraction_timed(spark, corpus, mode, shard, repeats):
     return statistics.median(times), n_in
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
+    """Per-query wall time, median of ``repeats`` back-to-back
+    executions (the first is the coldest; the median discounts it).
+    r02's apparent per-query regressions (eav_pivot +49%) were
+    single-run noise inside this sandbox's documented window variance
+    (VERDICT r02 item 8) — medians make round-over-round deltas
+    attributable to plan changes."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        _noop_write(df)
-        out[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            _noop_write(df)
+            times.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(times), 3)
     return out
 
 

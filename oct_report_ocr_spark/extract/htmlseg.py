@@ -241,6 +241,7 @@ _OG_TYPE_RE = re.compile(
     re.S | re.I,
 )
 _CHARSET_TXT_RE = re.compile(r"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)", re.I)
+_HEAD_CLOSE_RE = re.compile(r"</head\s*>", re.I)
 
 
 def _first(pattern: re.Pattern, text: str) -> str | None:
@@ -257,9 +258,11 @@ def page_metadata(html_text: str) -> dict[str, str | None]:
 
     Only the document prefix up to ``</head>`` (or the first 16 KiB if
     no head close exists — truncated/dirty pages) is scanned, so a
-    multi-MB page costs O(head), not O(page)."""
-    end = html_text.find("</head>")
-    head = html_text[: end + 7] if end >= 0 else html_text[:16384]
+    multi-MB page costs O(head), not O(page). The head close is matched
+    case-insensitively (``</HEAD>`` counts), consistent with every
+    extraction regex in this module (ADVICE r02)."""
+    m = _HEAD_CLOSE_RE.search(html_text)
+    head = html_text[: m.end()] if m else html_text[:16384]
     return {
         "title": _first(_TITLE_RE, head),
         "meta_description": _first(_META_DESC_RE, head) or _first(_META_DESC_RE2, head),

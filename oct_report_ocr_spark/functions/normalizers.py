@@ -17,15 +17,28 @@ from pyspark.sql import functions as F
 
 # Ordered first-match-wins ladder (utils.py:1140-1212). Order is
 # load-bearing: 'nlp' before 'lp', '20/1600' before '20/160', etc.
+#
+# IEEE signed zero: the 20/20 rung is round(-log10(1.0), 6) == -0.0.
+# Spark's F.lit(-0.0) keeps the sign bit while DuckDB parses the -0.0
+# literal in the generated oracle CASE as DECIMAL (no signed zero), so
+# the two engines hash differently despite comparing == . Normalize
+# every rung with `+ 0.0` (IEEE: -0.0 + 0.0 == +0.0) so both engines
+# see the identical bit pattern. (r02 verdict item 1.)
+
+
+def _unsign_zero(v: float) -> float:
+    return v + 0.0 if v == 0 else v
+
+
 LOGMAR_LADDER: tuple[tuple[str, float], ...] = tuple(
     [
-        ("cf", round(-math.log10(0.0025), 6)),
-        ("hm", round(-math.log10(0.002), 6)),
-        ("nlp", round(-math.log10(0.0013), 6)),
-        ("lp", round(-math.log10(0.0016), 6)),
+        ("cf", _unsign_zero(round(-math.log10(0.0025), 6))),
+        ("hm", _unsign_zero(round(-math.log10(0.002), 6))),
+        ("nlp", _unsign_zero(round(-math.log10(0.0013), 6))),
+        ("lp", _unsign_zero(round(-math.log10(0.0016), 6))),
     ]
     + [
-        (f"20/{d}", round(-math.log10(20 / d), 6))
+        (f"20/{d}", _unsign_zero(round(-math.log10(20 / d), 6)))
         for d in (1600, 1250, 1000, 800, 650, 500, 400, 350, 300, 250, 225, 200,
                   160, 150, 125, 120, 100, 80, 70, 63, 60, 50, 40, 32, 30, 25,
                   20, 16, 15, 10)

@@ -8,40 +8,40 @@ genuinely non-SQL-expressible and get the driver's rows-only check.
 from __future__ import annotations
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# insertion order (VERDICT r01).  Round 1 left entries 50-64 ungated and three
-# oracle-type fixes unproven, so round 2 front-loads exactly those: the 15
-# previously-ungated queries, the 3 repaired oracles, and every query new in
-# this round.  Already-green r01 rows keep their standing evidence; the
-# remainder of the registry follows in its original module order.
+# insertion order (VERDICT r01).  Round 3 rotation (VERDICT r02 item 4): keep
+# every query's green row ≤2 rounds old.  Front-load (a) logmar_ladder — the
+# one never-green row, signed-zero fix this round; (b) the 22 queries whose
+# only green evidence is r01 (out of the r02 window), including
+# minhash_lsh_pairs_capped / dedup_pipeline whose outputs changed in r02
+# (BAND_CAP 4→2) and were re-proven only by the local oracle suite (ADVICE
+# r02); (c) queries new in round 3.  The remainder follows in module order,
+# which re-gates the r02-green block inside the same 50-row window.
 _GATE_PRIORITY = [
-    # new in round 2
-    "embedding_dedup_pipeline",
-    "doc_metadata",
-    "audit_anchors",
-    "lsh_heavy_buckets",
-    "dedup_heavy_pass",
-    "dedup_pipeline_full",
-    "stratified_sample",
-    # ungated in round 1 (entries 50-64)
-    "approx_distinct_check",
-    "map_decode",
-    "where_string",
-    "composite_key_join",
-    "union_then_join",
-    "null_safe_filter",
-    "medlat_quirk",
-    "spherical_equivalent",
-    "url_parts",
-    "explode_tokens",
-    "token_frequency",
-    "repetition_ratio",
-    "cohort_dag",
-    "session_window",
-    "asof_join",
-    # FAIL(hash) in round 1 — oracle casts fixed this round
-    "conditional_agg",
-    "gaps_islands",
+    # never-green: -0.0 → +0.0 ladder fix lands this round
     "logmar_ladder",
+    # green only in r01 — evidence now 2 rounds old, rotate back in
+    "dedup_exact",
+    "dedup_pipeline",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_capped",
+    "ngram_jaccard_adjacent",
+    "simhash",
+    "ann_cosine_bruteforce",
+    "ann_ivf_assign",
+    "ann_ivf_probe",
+    "ann_lsh_bucket",
+    "ann_topk",
+    "embedding_near_dup",
+    "embedding_positional",
+    "device_cascade",
+    "fingerprint",
+    "lang_guess",
+    "quality_score",
+    "token_count",
+    "grouped_topk",
+    "length_percentiles",
+    "union_multibranch",
 ]
 
 

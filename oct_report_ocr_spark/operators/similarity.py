@@ -147,13 +147,34 @@ def _cos(a, b):
     )
 
 
-def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+# Hard ceiling for the all-pairs exactness baseline below.  O(n²) pairs
+# at 10⁴ vectors is ~5·10⁷ cosine evaluations — the most this plan may
+# ever be asked to do.  Production paths use q_embedding_dedup_pipeline.
+BASELINE_MAX_VECTORS = 10_000
+
+
+def q_embedding_near_dup(
+    spark: SparkSession, sf: str, *, allow_large: bool = False
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact verify stage of
     embedding dedup). This is the exactness baseline the LSH bucketing
     (q_ann_lsh_bucket) prunes candidates FOR at scale — there, pairs
     are only generated within a bucket; here every pair is scored so
-    the oracle can agree bit-for-bit."""
+    the oracle can agree bit-for-bit.
+
+    ORACLE BASELINE ONLY (VERDICT r02 item 6): the deliberately O(n²)
+    nested-loop plan. Refuses inputs above BASELINE_MAX_VECTORS unless
+    ``allow_large=True``; the scale path is q_embedding_dedup_pipeline
+    (bucket → equi-join → verify), plan-gated in tests/test_plans.py."""
     e = load(spark, sf, "embeddings")
+    if not allow_large:
+        n = e.count()
+        if n > BASELINE_MAX_VECTORS:
+            raise ValueError(
+                f"embedding_near_dup is the O(n²) oracle baseline and refuses "
+                f"{n} > {BASELINE_MAX_VECTORS} vectors; use "
+                f"q_embedding_dedup_pipeline (bucketed) or pass allow_large=True"
+            )
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     a = vecs.alias("a")
     b = vecs.alias("b")

@@ -29,6 +29,29 @@ from oct_report_ocr_spark.synth.gen_corpus import SCHEMA as _CORPUS_SCHEMA  # no
 
 CORPUS_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60 * 1000,
+    "hour": 3600 * 1000,
+    "day": 24 * 3600 * 1000,
+    "week": 7 * 24 * 3600 * 1000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a Spark-style interval string ('1 day', '7 days',
+    '30 minutes') into milliseconds — the same unit vocabulary
+    withWatermark accepts for these durations."""
+    parts = interval.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"unsupported interval: {interval!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _INTERVAL_UNIT_MS:
+        raise ValueError(f"unsupported interval unit: {interval!r}")
+    return int(n) * _INTERVAL_UNIT_MS[unit]
+
 
 def stream_extract(
     spark: SparkSession,
@@ -102,10 +125,10 @@ def dedup_stream(docs: DataFrame, watermark: str = "1 day") -> DataFrame:
     any streaming dedup. Works identically under
     ``trigger(availableNow=True)`` incremental batches.
     """
-    import datetime as _dt
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    expiry_ms = _interval_ms(watermark)
 
     keyed = docs.withWatermark("warc_ts", watermark).withColumn(
         "fp", F.xxhash64(F.col("html")).cast("string")
@@ -118,21 +141,31 @@ def dedup_stream(docs: DataFrame, watermark: str = "1 day") -> DataFrame:
             return
         known = state.get[0] if state.exists else None
         n_dup = state.get[1] if state.exists else 0
-        out = []
+        # Drain ALL chunks before choosing the survivor: one
+        # fingerprint's rows can span pandas chunks, and a per-chunk
+        # sort would let an earlier chunk's url beat a lower url in a
+        # later chunk (ADVICE r02). Duplicate groups are tiny relative
+        # to the batch, so materializing the key's rows is safe.
+        best_url, best_ts, n_rows = None, None, 0
         for pdf in pdfs:
-            pdf = pdf.sort_values("url", kind="stable")
+            n_rows += len(pdf)
             for url, ts in zip(pdf["url"], pdf["warc_ts"]):
-                if known is None:
-                    known = url
-                    out.append((fp, url, ts))
-                else:
-                    n_dup += 1
+                if best_url is None or url < best_url:
+                    best_url, best_ts = url, ts
+        out = []
+        if known is None and n_rows:
+            known = best_url
+            out.append((fp, best_url, best_ts))
+            n_dup += n_rows - 1
+        else:
+            n_dup += n_rows
         state.update((known, n_dup))
         # expire this fingerprint once the watermark passes one
-        # `watermark` horizon beyond now-seen data
+        # `watermark` horizon beyond now-seen data — the documented
+        # dedup horizon, not a hardcoded day (ADVICE r02)
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms > 0:
-            state.setTimeoutTimestamp(wm_ms + 24 * 3600 * 1000)
+            state.setTimeoutTimestamp(wm_ms + expiry_ms)
         if out:
             yield pd.DataFrame(
                 {

@@ -14,6 +14,7 @@ import datetime as dt
 import decimal
 import math
 import os
+import struct
 import sys
 from collections import Counter
 
@@ -26,11 +27,16 @@ TABLES = (
 
 def norm(v):
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        v = float(v)
     if isinstance(v, float):
+        # Bit-level comparison (r02 verdict item 2): round(v, 9) hid the
+        # -0.0 vs +0.0 divergence that failed the driver's hash gate
+        # (logmar_ladder) while passing locally. Pack to IEEE-754 bits so
+        # the local gate is at least as strict as the driver's value hash;
+        # canonicalize every NaN payload to one token first.
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return struct.pack(">d", v).hex()
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):

@@ -198,3 +198,18 @@ def test_page_metadata_edge_cases():
     assert m["og_type"] == "video"
     # empty content → None, not ""
     assert page_metadata('<head><title>  </title></head>')["title"] is None
+
+
+def test_page_metadata_uppercase_head_close():
+    """The head close is matched case-insensitively, like every other
+    extraction regex in htmlseg (ADVICE r02: '</HEAD>' pages silently
+    fell back to the 16 KiB prefix and dropped later head metadata)."""
+    from oct_report_ocr_spark.extract.htmlseg import page_metadata
+
+    # metadata beyond 16 KiB but inside an upper-case-closed head must
+    # still be found
+    pad = '<meta name="x" content="' + "y" * 17000 + '">'
+    html = "<HEAD>" + pad + "<TITLE>Shouty Page</TITLE></HEAD>"
+    assert page_metadata(html)["title"] == "Shouty Page"
+    # whitespace before '>' also counts
+    assert page_metadata("<head><title>t</title></head >")["title"] == "t"

@@ -165,3 +165,18 @@ def test_dedup_stream_stateful(spark, tmp_path):
     run_once()
     got = {r.url for r in spark.read.parquet(out_dir).collect()}
     assert got == {"u1", "u2", "u5"}
+
+
+def test_interval_ms_parses_watermark_vocabulary():
+    """dedup_stream's state expiry must track the caller's `watermark`
+    (ADVICE r02: it was hardcoded to 24h regardless of the parameter)."""
+    from oct_report_ocr_spark.streaming.stream_extract import _interval_ms
+
+    assert _interval_ms("1 day") == 24 * 3600 * 1000
+    assert _interval_ms("7 days") == 7 * 24 * 3600 * 1000
+    assert _interval_ms("30 minutes") == 30 * 60 * 1000
+    assert _interval_ms("45 seconds") == 45_000
+    import pytest
+
+    with pytest.raises(ValueError):
+        _interval_ms("fortnight")

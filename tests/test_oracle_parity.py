@@ -63,3 +63,43 @@ def test_entry_smoke(spark):
         "meta",
     }
     assert all(r.url for r in rows)
+
+
+def _is_negative_zero(v: float) -> bool:
+    import struct
+
+    return v == 0 and struct.pack(">d", float(v)) != struct.pack(">d", 0.0)
+
+
+def test_no_negative_zero_literals():
+    """No float constant that reaches an output column (or a generated
+    oracle SQL literal) may be IEEE negative zero — Spark's F.lit keeps
+    the sign bit while DuckDB parses `-0.0` as unsigned DECIMAL, so the
+    two engines hash-diverge on rows that compare equal (r02 verdict
+    item 1/3; the logmar_ladder 20/20 rung was -0.0 for two rounds)."""
+    from oct_report_ocr_spark.functions.normalizers import LOGMAR_LADDER
+    from oct_report_ocr_spark.operators import similarity
+
+    for key, val in LOGMAR_LADDER:
+        assert not _is_negative_zero(val), f"ladder rung {key} is -0.0"
+    for p in range(similarity.N_PLANES):
+        for d in range(similarity.DIM):
+            w = float(similarity._plane_weight(p, d))
+            assert not _is_negative_zero(w), f"plane weight ({p},{d}) is -0.0"
+    # Every generated oracle SQL must be free of bare `-0.0` literals
+    # (exact literal, not prefixes of e.g. -0.09691).
+    import re
+
+    neg_zero = re.compile(r"-0\.0+(?![0-9.])")
+    for name, sql in entry.oracle_sql().items():
+        m = neg_zero.search(sql)
+        assert m is None, f"oracle {name} embeds a -0.0 literal: {m.group(0)!r}"
+
+
+def test_norm_is_bit_exact_on_floats():
+    """The local gate must distinguish -0.0 from +0.0 and canonicalize
+    NaN payloads — i.e. be at least as strict as the driver's value hash
+    (r02 verdict item 2)."""
+    assert norm(-0.0) != norm(0.0)
+    assert norm(float("nan")) == norm(float("-nan")) == "NaN"
+    assert norm(1.5) == norm(1.5)

@@ -121,3 +121,39 @@ def test_extraction_resume_filter_reaches_scan(spark):
     # Filter detail carrying the predicate must precede the MapInArrow
     # detail block (i.e. the filter runs below the Python stage)
     assert m.start() < p.rindex("MapInArrow"), p[:2000]
+
+
+def test_no_nested_loop_join_in_any_registered_query(spark):
+    """VERDICT r02 item 6: no registered query may contain a nested-loop
+    (cartesian) join — the one O(n²) plan class that cannot survive
+    corpus scale. The single exemption is the documented all-pairs
+    exactness baseline `embedding_near_dup`, which additionally carries
+    a BASELINE_MAX_VECTORS row-count guard (asserted below)."""
+    import pytest
+
+    import __spark_entry__ as entry
+    from oct_report_ocr_spark.operators import similarity
+
+    BASELINE_EXEMPT = {"embedding_near_dup"}
+    # BroadcastNestedLoopJoin over a provably-bounded broadcast side (the
+    # single query vector / the K IVF centroids) is a map-only scan — the
+    # correct plan at any corpus size. Only these may carry one.
+    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe"}
+    for name, fn in entry.queries().items():
+        if name in BASELINE_EXEMPT:
+            continue
+        c = plan_checks(fn(spark, SF_SMOKE))
+        assert c["n_cartesian_products"] == 0, (name, c)
+        if name not in BOUNDED_BROADCAST_OK:
+            assert c["n_broadcast_nl_joins"] == 0, (name, c)
+    # the exempted baseline must refuse production-scale input
+    orig = similarity.BASELINE_MAX_VECTORS
+    try:
+        similarity.BASELINE_MAX_VECTORS = 1
+        with pytest.raises(ValueError, match="O\\(n²\\) oracle baseline"):
+            similarity.q_embedding_near_dup(spark, SF_SMOKE)
+        # and still serve the oracle when explicitly allowed
+        df = similarity.q_embedding_near_dup(spark, SF_SMOKE, allow_large=True)
+        assert df.columns == ["vec_a", "vec_b", "cos_sim"]
+    finally:
+        similarity.BASELINE_MAX_VECTORS = orig

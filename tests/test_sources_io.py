@@ -114,12 +114,15 @@ def test_audit_render_anchor_fidelity_on_goldens(spark):
     audit = src_io.audit_render(extract_df(docs, buckets=4, lang=None)).collect()
     assert audit
 
-    # golden truth: url -> extracted line list (from the pure core)
+    # golden truth: url -> extracted line list + spans (from the pure core)
     lines_by_url = {}
+    spans_by_key = {}
     for r_in in rows_in:
         res = extract_one(r_in["html"], r_in["url"])
         if res.extracted_text is not None:
             lines_by_url[r_in["url"]] = res.extracted_text.split("\n")
+            for s in res.spans or []:
+                spans_by_key[(r_in["url"], s.label)] = s
 
     checked = 0
     for row in audit:
@@ -128,9 +131,13 @@ def test_audit_render_anchor_fidelity_on_goldens(spark):
             assert row.line is None and row.context_before is None
             continue
         assert row.line == lines[row.line_idx]
-        # span contract: value verbatim in the line, or the normalized
-        # value derived from that whole line (see core._spans_for_fields)
-        assert (row.value in row.line) or row.line, row
+        # span contract (core._spans_for_fields): value verbatim in the
+        # line, OR a normalizer-produced value whose fallback span covers
+        # the WHOLE source line it was derived from. (The previous form
+        # `(value in line) or line` was vacuously true — ADVICE r02.)
+        if row.value not in row.line:
+            s = spans_by_key[(row.url, row.label)]
+            assert s.end - s.start == len(row.line), row
         want_before = lines[row.line_idx - 1] if row.line_idx > 0 else None
         want_after = (
             lines[row.line_idx + 1] if row.line_idx + 1 < len(lines) else None
