@@ -19,6 +19,11 @@ from __future__ import annotations
 _GATE_PRIORITY = [
     # never-green: -0.0 → +0.0 ladder fix lands this round
     "logmar_ladder",
+    # new in round 3 (operators/curation.py)
+    "ngram_topk",
+    "decontaminate",
+    "dedup_normalized",
+    "pii_scrub",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",
@@ -90,6 +95,12 @@ def all_queries() -> dict:
         from . import temporal
 
         out.update(temporal.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from . import curation
+
+        out.update(curation.QUERIES)
     except ImportError:
         pass
     return _reorder(out)

@@ -1,0 +1,252 @@
+"""Corpus-curation operators a 100 TB training-data pipeline needs
+beyond the reference's own inventory (round 3 widening): benchmark
+decontamination, normalized-text dedup, PII scrubbing, and corpus-wide
+n-gram frequency. Same rules as relational.py: every query is pure
+native expressions (no Python in the plan), deterministic, and paired
+with a DuckDB oracle.
+
+Reference anchors: these generalize the reference's text-normalization
++ rule-pulling layer (utils.py:1140-1212 normalizers, utils.py:509-625
+code classification) from clinical strings to corpus hygiene — the same
+lower/strip/regex vocabulary applied at table scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extra import _TOKS_SQL, _toks
+from .relational import load
+
+# --------------------------------------------------------------------------
+# Shared trigram shingling (token 3-grams over the cleaned token list).
+# Spark's sequence(start, stop) DESCENDS when stop < start, so short
+# docs (< 3 tokens) must produce an explicitly empty index list.
+# DuckDB's range(a, b) is end-exclusive and already empty when b <= a.
+# --------------------------------------------------------------------------
+
+
+def _trigrams():
+    toks = _toks()
+    n = F.size(toks)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+
+
+_TRIGRAMS_SQL = (
+    f"list_transform(range(1, greatest(len({_TOKS_SQL}) - 1, 1)), "
+    f"i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2])"
+)
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide n-gram frequency (contamination / repetition analysis).
+# Scale posture: shingling is map-only; the count is one hash aggregate
+# with map-side partial combine; the top-20 is TakeOrderedAndProject
+# (per-partition heaps + driver merge of 20 rows), never a global sort
+# of the full n-gram table.
+# --------------------------------------------------------------------------
+
+
+def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    tri = d.select(F.explode(_trigrams()).alias("trigram"))
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram"))
+        .limit(20)
+    )
+
+
+SQL_NGRAM_TOPK = f"""
+SELECT trigram, COUNT(*) AS n
+FROM (SELECT unnest({_TRIGRAMS_SQL}) AS trigram FROM documents WHERE n_chars > 0)
+GROUP BY trigram
+ORDER BY n DESC, trigram
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing token
+# 3-grams with a (small) held-out benchmark set — the standard
+# eval-leakage sweep before training. Benchmark stand-in: doc_id % 97
+# == 0 (deterministic, ~1%).
+# Scale posture: the benchmark n-gram set is tiny relative to the
+# corpus (an eval suite, not the crawl) → distinct once, BROADCAST to
+# the shingled corpus side, then one shuffle on doc_id for the overlap
+# count. No corpus-vs-corpus join ever happens.
+# --------------------------------------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    shingled = d.select("doc_id", F.explode(_trigrams()).alias("trigram")).distinct()
+    bench = (
+        shingled.filter(F.col("doc_id") % 97 == 0)
+        .select("trigram")
+        .distinct()
+    )
+    train = shingled.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "trigram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({_TRIGRAMS_SQL}) AS trigram
+  FROM documents WHERE n_chars > 0
+),
+bench AS (SELECT DISTINCT trigram FROM shingled WHERE doc_id % 97 = 0)
+SELECT s.doc_id, COUNT(*) AS n_overlap
+FROM shingled s JOIN bench b USING (trigram)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Normalized-text dedup (CCNet/Gopher-style "near-exact"): lowercase,
+# strip non-alphanumerics, collapse whitespace, then hash — catches
+# dups that differ only in case/punctuation/spacing, which exact
+# content-hash dedup (dedup_exact) misses.
+# Scale posture: normalization + md5 are map-only codegen; one hash
+# aggregate on the 16-byte key. Same single-shuffle shape as
+# dedup_exact at any corpus size.
+# --------------------------------------------------------------------------
+
+_NORM = lambda c: F.trim(  # noqa: E731 — mirrored literally in SQL below
+    F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " ")
+)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def q_dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus has no natural case/punct variants (word-soup text is
+    unique), so every doc_id % 20 == 3 gets a deterministic mangled twin
+    (uppercased, doubled spacing, punctuation noise, id + 10⁶) — the
+    same construction in the oracle — and the operator must collapse
+    each (original, twin) pair to one cluster."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    twins = d.filter(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.regexp_replace(F.col("text"), " ", "  ")), F.lit(" !!")
+        ).alias("text"),
+    )
+    allrows = d.select("doc_id", "text").unionByName(twins)
+    keyed = allrows.select(
+        "doc_id", F.md5(_NORM(F.col("text")).cast("binary")).alias("norm_key")
+    )
+    return (
+        keyed.groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_DEDUP_NORMALIZED = f"""
+WITH allrows AS (
+  SELECT doc_id, text FROM documents WHERE n_chars > 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         upper(replace(text, ' ', '  ')) || ' !!' AS text
+  FROM documents WHERE n_chars > 0 AND doc_id % 20 = 3
+)
+SELECT md5({_NORM_SQL}) AS norm_key,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS survivor_id
+FROM allrows
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: count + redact planted emails/phones. The corpus text
+# is synthetic word soup, so PII is planted deterministically from
+# doc_id (the same construction in both engines — the doc_metadata
+# pattern), then counted and redacted with identical regexes.
+# Scale posture: pure map-only regexp codegen — zero shuffles; at
+# 10¹² docs this is scan-bound, exactly as a redaction pass should be.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def _planted_note():
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PLANTED_NOTE_SQL = """text
+  || CASE WHEN doc_id % 4 = 0
+          THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+          ELSE '' END
+  || CASE WHEN doc_id % 6 = 0
+          THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+          ELSE '' END"""
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    note = _planted_note()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(note, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(note, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(note, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH n AS (SELECT doc_id, {_PLANTED_NOTE_SQL} AS note FROM documents WHERE n_chars > 0)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(note, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(note, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(note, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM n
+"""
+
+
+QUERIES: dict = {
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "dedup_normalized": (q_dedup_normalized, SQL_DEDUP_NORMALIZED),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+}
