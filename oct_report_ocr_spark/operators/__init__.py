@@ -24,6 +24,8 @@ _GATE_PRIORITY = [
     "decontaminate",
     "dedup_normalized",
     "pii_scrub",
+    "quality_filter",
+    "paragraph_dedup",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

@@ -244,9 +244,129 @@ FROM n
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher-style composite quality filter: word-count bounds, mean-word-
+# length band, stopword presence — the standard pre-training document
+# quality gate, with a first-match-wins reject reason per document.
+# Scale posture: every rule is a native expression over the token array
+# (higher-order functions, whole-stage codegen) — map-only, zero
+# shuffles; at 10¹² docs this is scan-bound like pii_scrub.
+# mean_word_len is a ratio of two exact integers, so the IEEE double is
+# bit-identical in Spark and DuckDB.
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    toks = _toks()
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_wl = sum_len.cast("double") / n_words.cast("double")
+    has_stop = F.arrays_overlap(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    reason = (
+        F.when(n_words < 30, F.lit("too_short"))
+        .when(n_words > 400, F.lit("too_long"))
+        .when((mean_wl < 3.0) | (mean_wl > 10.0), F.lit("word_len"))
+        .when(~has_stop, F.lit("no_stopwords"))
+        .otherwise(F.lit("keep"))
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        reason.alias("verdict"),
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE n_chars > 0
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+           / len(toks)::DOUBLE AS mean_word_len,
+         len(list_intersect(toks, ['the','a','and','of','to'])) > 0 AS has_stop
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       mean_word_len,
+       CASE WHEN n_words < 30 THEN 'too_short'
+            WHEN n_words > 400 THEN 'too_long'
+            WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len'
+            WHEN NOT has_stop THEN 'no_stopwords'
+            ELSE 'keep' END AS verdict
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level cross-document dedup (CCNet shape): split documents
+# into paragraphs, hash each, and report paragraphs shared by >= 2
+# distinct documents. The word-soup corpus has no natural newlines, so
+# boilerplate paragraphs are planted deterministically from doc_id (two
+# templates), same construction in both engines — every doc_id % 25 in
+# {7, 13} carries one; the operator must find exactly the planted
+# templates with their true document counts.
+# Scale posture: split+explode is map-only; DISTINCT (doc_id, hash) is
+# one shuffle; the per-paragraph doc count is a second hash aggregate
+# on the 16-byte key. No joins, no global sort — the CCNet paragraph
+# pass at any corpus size.
+# --------------------------------------------------------------------------
+
+_BOILER_A = "please subscribe to our free newsletter for daily updates"
+_BOILER_B = "all rights reserved click here to read the full terms"
+
+
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 25 == 7, F.lit("\n" + _BOILER_A)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 25 == 13, F.lit("\n" + _BOILER_B)).otherwise(F.lit("")),
+    )
+    paras = d.select(
+        "doc_id", F.explode(F.split(planted, "\n")).alias("para")
+    ).filter(F.length("para") > 0)
+    keyed = paras.select(
+        "doc_id", F.md5(F.col("para").cast("binary")).alias("para_md5")
+    ).distinct()
+    return (
+        keyed.groupBy("para_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("survivor_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 25 = 7  THEN chr(10) || '{_BOILER_A}' ELSE '' END
+           || CASE WHEN doc_id % 25 = 13 THEN chr(10) || '{_BOILER_B}' ELSE '' END
+           AS text
+  FROM documents WHERE n_chars > 0
+),
+paras AS (
+  SELECT DISTINCT doc_id, md5(para) AS para_md5
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM planted)
+  WHERE length(para) > 0
+)
+SELECT para_md5, COUNT(*) AS n_docs, MIN(doc_id) AS survivor_id
+FROM paras
+GROUP BY para_md5 HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_normalized": (q_dedup_normalized, SQL_DEDUP_NORMALIZED),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
 }
