@@ -67,6 +67,10 @@ HEADLINE_QUERIES = [
     "embedding_dedup_pipeline",
     "doc_metadata",
     "audit_anchors",
+    # round 3 additions (curation layer)
+    "decontaminate",
+    "quality_filter",
+    "paragraph_dedup",
 ]
 
 

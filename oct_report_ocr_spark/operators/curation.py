@@ -27,8 +27,15 @@ from .relational import load
 # --------------------------------------------------------------------------
 
 
-def _trigrams():
-    toks = _toks()
+def _trigrams(toks=None):
+    """Trigram array over a token array. Pass a materialized ``toks``
+    column whenever the caller uses the trigrams more than once per
+    row (or explodes them): the split/regexp token expression is not
+    common-subexpression-eliminated inside the transform lambda, so an
+    inline ``_toks()`` is re-evaluated for every element_at — O(n)
+    regex passes per document instead of one."""
+    if toks is None:
+        toks = _toks()
     n = F.size(toks)
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
         F.array().cast("array<int>")
@@ -61,7 +68,8 @@ _TRIGRAMS_SQL = (
 
 def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    tri = d.select(F.explode(_trigrams()).alias("trigram"))
+    toked = d.select(_toks().alias("toks"))
+    tri = toked.select(F.explode(_trigrams(F.col("toks"))).alias("trigram"))
     return (
         tri.groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -93,7 +101,16 @@ LIMIT 20
 
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    shingled = d.select("doc_id", F.explode(_trigrams()).alias("trigram")).distinct()
+    # Widening repartition before the explode (same rationale as the
+    # minhash signature stages): shingling multiplies row count ~50x,
+    # and a coarse upstream layout (one parquet file here; a handful of
+    # giant scan splits at 100 TB) would otherwise serialize it.
+    toked = d.select("doc_id", _toks().alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    shingled = toked.select(
+        "doc_id", F.explode(_trigrams(F.col("toks"))).alias("trigram")
+    ).distinct()
     bench = (
         shingled.filter(F.col("doc_id") % 97 == 0)
         .select("trigram")
