@@ -1,0 +1,112 @@
+"""Unit tests for the round-3 curation operators (operators/curation.py).
+
+The oracle sweep proves Spark-vs-DuckDB parity; these tests pin the
+*semantics* independently of the oracle, so a bug mirrored into both
+engines' expressions can't pass silently.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tests.conftest import SF_SMOKE
+
+from oct_report_ocr_spark.operators import curation
+
+
+def test_trigrams_short_docs_empty(spark):
+    """Docs with < 3 tokens must yield an empty trigram list — Spark's
+    sequence() DESCENDS when stop < start, which would fabricate
+    trigrams from out-of-range element_at NULLs."""
+    df = spark.createDataFrame(
+        [Row(text="one two"), Row(text="one"), Row(text=""), Row(text="a b c d")]
+    )
+    out = df.select(F.size(curation._trigrams()).alias("n")).collect()
+    assert [r.n for r in out] == [0, 0, 0, 2]
+
+
+def test_trigrams_materialized_matches_inline(spark):
+    """_trigrams(toks_column) is a pure performance rewrite — identical
+    output to the inline form on real corpus text."""
+    from oct_report_ocr_spark.operators.extra import _toks
+    from oct_report_ocr_spark.operators.relational import load
+
+    d = load(spark, SF_SMOKE, "documents").filter(F.col("n_chars") > 0).limit(50)
+    inline = d.select("doc_id", curation._trigrams().alias("tri"))
+    mat = d.select("doc_id", _toks().alias("toks")).select(
+        "doc_id", curation._trigrams(F.col("toks")).alias("tri")
+    )
+    assert inline.collect() == mat.collect()
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    """Planted-PII arithmetic: doc_id % 4 == 0 plants exactly one email,
+    doc_id % 6 == 0 exactly one phone; redaction removes every match."""
+    out = curation.q_pii_scrub(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows, "pii_scrub returned no rows"
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 4 == 0 else 0), r
+        assert r.n_phones == (1 if r.doc_id % 6 == 0 else 0), r
+    # redacted text must contain no residual matches: re-scan the
+    # scrubbed string (recomputed, since only its md5 is projected)
+    d = curation.load(spark, SF_SMOKE, "documents").filter(F.col("n_chars") > 0)
+    note = curation._planted_note()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(note, curation._EMAIL_RE, "[EMAIL]"),
+        curation._PHONE_RE,
+        "[PHONE]",
+    )
+    residual = d.select(
+        (
+            F.regexp_count(scrubbed, F.lit(curation._EMAIL_RE))
+            + F.regexp_count(scrubbed, F.lit(curation._PHONE_RE))
+        ).alias("n")
+    ).agg(F.sum("n").alias("total"))
+    assert residual.collect()[0].total == 0
+
+
+def test_quality_filter_verdict_partition(spark):
+    """Every doc gets exactly one verdict; reject reasons follow
+    first-match-wins; thresholds are non-vacuous on the corpus (both
+    keeps and rejects present)."""
+    out = curation.q_quality_filter(spark, SF_SMOKE).collect()
+    verdicts = {r.verdict for r in out}
+    assert "keep" in verdicts and ("too_short" in verdicts or "no_stopwords" in verdicts)
+    for r in out:
+        if r.n_words < 30:
+            assert r.verdict == "too_short", r
+        elif r.verdict == "too_short":
+            pytest.fail(f"too_short verdict on {r.n_words}-word doc: {r}")
+
+
+def test_paragraph_dedup_finds_exactly_planted_templates(spark):
+    """The two planted boilerplate templates are the only cross-doc
+    paragraphs, each shared by every doc_id % 25 in {7, 13}."""
+    out = curation.q_paragraph_dedup(spark, SF_SMOKE).collect()
+    d = curation.load(spark, SF_SMOKE, "documents").filter(F.col("n_chars") > 0)
+    ids = [r.doc_id for r in d.select("doc_id").collect()]
+    expect_a = [i for i in ids if i % 25 == 7]
+    expect_b = [i for i in ids if i % 25 == 13]
+    assert sorted(r.n_docs for r in out) == sorted([len(expect_a), len(expect_b)])
+    assert {r.survivor_id for r in out} == {min(expect_a), min(expect_b)}
+
+
+def test_dedup_normalized_collapses_planted_twins(spark):
+    """Each doc_id % 20 == 3 original and its mangled twin (id + 10^6)
+    collapse to one cluster with the original as survivor."""
+    out = curation.q_dedup_normalized(spark, SF_SMOKE).collect()
+    d = curation.load(spark, SF_SMOKE, "documents").filter(F.col("n_chars") > 0)
+    planted = [r.doc_id for r in d.select("doc_id").collect() if r.doc_id % 20 == 3]
+    assert len(out) == len(planted)
+    assert {r.survivor_id for r in out} == set(planted)
+    assert all(r.n_docs == 2 for r in out)
+
+
+def test_decontaminate_overlap_bounds(spark):
+    """Overlap counts are positive and bounded by each doc's own
+    distinct-trigram count; benchmark docs (doc_id % 97 == 0) never
+    appear in the output."""
+    out = curation.q_decontaminate(spark, SF_SMOKE).collect()
+    assert out
+    assert all(r.doc_id % 97 != 0 for r in out)
+    assert all(r.n_overlap > 0 for r in out)
