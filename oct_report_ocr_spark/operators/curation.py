@@ -277,7 +277,10 @@ _STOPWORDS = ["the", "a", "and", "of", "to"]
 
 def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    toks = _toks()
+    # materialize the token array once per row — the rules below read it
+    # four times, and the split/regexp is not CSE'd across expressions
+    d = d.select("doc_id", _toks().alias("toks"))
+    toks = F.col("toks")
     n_words = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     mean_wl = sum_len.cast("double") / n_words.cast("double")

@@ -110,3 +110,29 @@ def test_decontaminate_overlap_bounds(spark):
     assert out
     assert all(r.doc_id % 97 != 0 for r in out)
     assert all(r.n_overlap > 0 for r in out)
+
+
+def test_norm_key_idempotent_and_variant_invariant(spark):
+    """The normalized-dedup key is a fixpoint (norm(norm(x)) == norm(x))
+    and invariant under the mangling used for planted twins."""
+    from hypothesis import given, settings, strategies as st
+
+    import re
+
+    def norm_py(s: str) -> str:
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", "", s.lower())).strip()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=80))
+    def check(s):
+        once = norm_py(s)
+        assert norm_py(once) == once
+        mangled = once.upper().replace(" ", "  ") + " !!"
+        assert norm_py(mangled) == once
+
+    check()
+    # and the Spark expression agrees with the Python model on corpus text
+    d = curation.load(spark, SF_SMOKE, "documents").filter(F.col("n_chars") > 0).limit(20)
+    rows = d.select("text", curation._NORM(F.col("text")).alias("nk")).collect()
+    for r in rows:
+        assert r.nk == norm_py(r.text)
