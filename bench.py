@@ -565,8 +565,20 @@ single-scan single-shuffle plan, Arrow batch 128.
 Reproduce: `python bench.py --scaling`
 """
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-            f.write(md)
+        # Preserve the hand-maintained appendix (window-variance table,
+        # per-run details, salted-tuning measurements) below the marker:
+        # only the generated headline section above it is regenerated.
+        baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        appendix = ""
+        marker = "## Window variance"
+        if os.path.exists(baseline_path):
+            with open(baseline_path) as f:
+                old = f.read()
+            idx = old.find(marker)
+            if idx != -1:
+                appendix = "\n" + old[idx:]
+        with open(baseline_path, "w") as f:
+            f.write(md + appendix)
         print(
             json.dumps(
                 {
