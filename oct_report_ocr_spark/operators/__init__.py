@@ -26,6 +26,9 @@ _GATE_PRIORITY = [
     "pii_scrub",
     "quality_filter",
     "paragraph_dedup",
+    "quality_tiers",
+    "lang_rollup",
+    "latest_capture",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

@@ -382,6 +382,172 @@ GROUP BY para_md5 HAVING COUNT(*) >= 2
 """
 
 
+# --------------------------------------------------------------------------
+# Quality-tier extraction (FineWeb/DCLM shape): assign every document to
+# a training tier from composite quality signals, then report per-tier
+# corpus statistics — the pass that decides which slice of a 100 TB
+# crawl a training run actually reads.
+# Scale posture: the per-doc metrics are native higher-order-function
+# expressions (map-only, codegen); the per-tier rollup is ONE hash
+# aggregate over a 3-value key with map-side partial combine — the
+# cheapest possible shuffle. mean_word_len is computed AFTER the
+# aggregate as a ratio of two exactly-representable BIGINT sums, so the
+# IEEE double is bit-identical in Spark and DuckDB (never an engine-
+# order-dependent average of doubles).
+# --------------------------------------------------------------------------
+
+
+def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    d = d.select("doc_id", _toks().alias("toks"))
+    toks = F.col("toks")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    has_stop = F.arrays_overlap(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    tier = (
+        F.when((n_words >= 60) & has_stop, F.lit("high"))
+        .when(n_words >= 30, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    per_doc = d.select(
+        tier.alias("tier"),
+        n_words.cast("bigint").alias("n_words"),
+        sum_len.cast("bigint").alias("sum_len"),
+    )
+    return per_doc.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        (
+            F.sum("sum_len").cast("double") / F.sum("n_words").cast("double")
+        ).alias("mean_word_len"),
+    )
+
+
+SQL_QUALITY_TIERS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE n_chars > 0
+),
+m AS (
+  SELECT CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+         len(list_intersect(toks, ['the','a','and','of','to'])) > 0 AS has_stop
+  FROM t
+)
+SELECT CASE WHEN n_words >= 60 AND has_stop THEN 'high'
+            WHEN n_words >= 30 THEN 'mid'
+            ELSE 'low' END AS tier,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(sum_len) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS mean_word_len
+FROM m
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional corpus rollup (GROUPING SETS family — an OLAP
+# operator class not otherwise exercised by the registry): per
+# (lang, source) cell counts plus lang subtotals plus the grand total in
+# ONE pass, with GROUPING() flags disambiguating real NULLs from
+# rolled-up levels.
+# Scale posture: Spark expands ROLLUP into grouping sets inside a single
+# hash aggregate with map-side partial combine — one shuffle for all
+# three aggregation levels, vs three separate groupBys (three shuffles +
+# a union) if written naively. Sums are exact BIGINTs.
+# --------------------------------------------------------------------------
+
+
+def q_lang_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    # grouping() is only resolvable inside the rollup's own Aggregate,
+    # so the flags are emitted by agg() itself, then ordered by select.
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("lang", "source", "g_lang", "g_source", "n_docs", "total_chars")
+    )
+
+
+SQL_LANG_ROLLUP = """
+SELECT lang, source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars > 0
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+# --------------------------------------------------------------------------
+# Latest-capture dedup (Common-Crawl recrawl shape): a crawl sees the
+# same url across snapshots; training wants exactly the newest capture
+# per url. Recaptures are planted deterministically from doc_id (every
+# doc_id % 7 == 2 gets a second, later capture with changed text), same
+# construction in both engines; the operator must pick the newer
+# capture's content for exactly those urls. Timestamps are carried as
+# BIGINT epoch seconds end-to-end — no engine timestamp representation
+# in the hashed output.
+# Scale posture: argmax-per-key via max_by/arg_max — ONE hash aggregate
+# on the url key with map-side partial combine (each mapper keeps one
+# candidate per key), vs the naive window row_number() which must
+# shuffle + sort every capture. This is the shape that survives 10^12
+# captures.
+# --------------------------------------------------------------------------
+
+_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def q_latest_capture(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    base = d.select(
+        "doc_id",
+        (F.lit(_EPOCH_2024) + F.col("doc_id") * 60).cast("bigint").alias("ts"),
+        F.col("text"),
+    )
+    recap = d.filter(F.col("doc_id") % 7 == 2).select(
+        "doc_id",
+        (F.lit(_EPOCH_2024) + F.col("doc_id") * 60 + 2592000)
+        .cast("bigint")
+        .alias("ts"),
+        F.concat(F.col("text"), F.lit(" updated v2")).alias("text"),
+    )
+    captures = base.unionByName(recap).select(
+        "doc_id", "ts", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+    return captures.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.max("ts").alias("latest_ts"),
+        F.max_by("text_md5", "ts").alias("latest_md5"),
+    )
+
+
+SQL_LATEST_CAPTURE = f"""
+WITH captures AS (
+  SELECT doc_id,
+         CAST({_EPOCH_2024} + doc_id * 60 AS BIGINT) AS ts,
+         md5(text) AS text_md5
+  FROM documents WHERE n_chars > 0
+  UNION ALL
+  SELECT doc_id,
+         CAST({_EPOCH_2024} + doc_id * 60 + 2592000 AS BIGINT) AS ts,
+         md5(text || ' updated v2') AS text_md5
+  FROM documents WHERE n_chars > 0 AND doc_id % 7 = 2
+)
+SELECT doc_id,
+       COUNT(*) AS n_captures,
+       MAX(ts) AS latest_ts,
+       arg_max(text_md5, ts) AS latest_md5
+FROM captures
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -389,4 +555,7 @@ QUERIES: dict = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "quality_tiers": (q_quality_tiers, SQL_QUALITY_TIERS),
+    "lang_rollup": (q_lang_rollup, SQL_LANG_ROLLUP),
+    "latest_capture": (q_latest_capture, SQL_LATEST_CAPTURE),
 }

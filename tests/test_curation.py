@@ -136,3 +136,58 @@ def test_norm_key_idempotent_and_variant_invariant(spark):
     rows = d.select("text", curation._NORM(F.col("text")).alias("nk")).collect()
     for r in rows:
         assert r.nk == norm_py(r.text)
+
+
+def test_quality_tiers_partition_and_totals(spark):
+    """Tiers partition the corpus: per-tier doc counts sum to the corpus
+    size, total_words agrees with quality_filter's per-doc n_words, and
+    mean_word_len is the exact ratio of the integer sums."""
+    tiers = {r.tier: r for r in curation.q_quality_tiers(spark, SF_SMOKE).collect()}
+    assert set(tiers) <= {"high", "mid", "low"}
+    per_doc = curation.q_quality_filter(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in tiers.values()) == len(per_doc)
+    assert sum(r.total_words for r in tiers.values()) == sum(
+        r.n_words for r in per_doc
+    )
+    for r in tiers.values():
+        assert 1.0 < r.mean_word_len < 20.0
+
+
+def test_lang_rollup_levels_reconcile(spark):
+    """The three rollup levels agree: leaves sum to each lang subtotal,
+    subtotals sum to the grand total, and grouping flags mark levels."""
+    rows = curation.q_lang_rollup(spark, SF_SMOKE).collect()
+    grand = [r for r in rows if r.g_lang == 1 and r.g_source == 1]
+    subtot = [r for r in rows if r.g_lang == 0 and r.g_source == 1]
+    leaves = [r for r in rows if r.g_lang == 0 and r.g_source == 0]
+    assert len(grand) == 1 and grand[0].lang is None and grand[0].source is None
+    assert grand[0].n_docs == sum(r.n_docs for r in subtot)
+    assert grand[0].total_chars == sum(r.total_chars for r in leaves)
+    for s in subtot:
+        mine = [r for r in leaves if r.lang == s.lang]
+        assert s.n_docs == sum(r.n_docs for r in mine)
+        assert s.total_chars == sum(r.total_chars for r in mine)
+
+
+def test_latest_capture_picks_newer_capture(spark):
+    """Every url keeps exactly one row; recaptured urls (doc_id % 7 == 2)
+    report 2 captures and the UPDATED content hash, all others 1 capture
+    and the original hash."""
+    import hashlib
+
+    out = {r.doc_id: r for r in curation.q_latest_capture(spark, SF_SMOKE).collect()}
+    src = (
+        curation.load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(out) == len(src)
+    for r in src:
+        got = out[r.doc_id]
+        if r.doc_id % 7 == 2:
+            want = hashlib.md5((r.text + " updated v2").encode()).hexdigest()
+            assert got.n_captures == 2 and got.latest_md5 == want
+        else:
+            want = hashlib.md5(r.text.encode()).hexdigest()
+            assert got.n_captures == 1 and got.latest_md5 == want
