@@ -71,6 +71,9 @@ HEADLINE_QUERIES = [
     "decontaminate",
     "quality_filter",
     "paragraph_dedup",
+    "quality_tiers",
+    "lang_rollup",
+    "latest_capture",
 ]
 
 

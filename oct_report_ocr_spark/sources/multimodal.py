@@ -188,6 +188,195 @@ def featurize(media: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.mapInPandas(featurize_batches, schema=FEATURE_DDL)
 
 
+def _decode_rgb_array(b: bytes):
+    """Decode BMP (24bpp BI_RGB) / PPM (P6) to an (h, w, 3) uint8 RGB
+    numpy array — vectorized (frombuffer + strided reshape), no Python
+    per-pixel loop. Shares validation with the mean-RGB kernels."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] == b"P6":
+        w, h, _, _, _ = _decode_ppm(b)  # validates header + size
+        import re as _re
+
+        m = _re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", b)
+        pix = np.frombuffer(b, dtype=np.uint8, count=3 * w * h, offset=m.end())
+        return pix.reshape(h, w, 3)
+    if b[:2] == b"BM":
+        w, h, _, _, _ = _decode_bmp(b)  # validates header + size
+        (pix_off,) = struct.unpack_from("<I", b, 10)
+        stride = (3 * w + 3) & ~3
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h, offset=pix_off
+        ).reshape(h, stride)
+        # bottom-up rows, BGR channel order → top-down RGB
+        return rows[::-1, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+    raise DecodeUnavailable("image codec libraries not present in this environment")
+
+
+def _encode_ppm(arr) -> bytes:
+    """(h, w, 3) uint8 RGB array → binary P6 PPM bytes."""
+    h, w = arr.shape[0], arr.shape[1]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
+    """Real nearest-neighbor resize: decode (BMP/PPM) → integer index
+    resample via numpy fancy indexing → re-encode as P6 PPM. Pure
+    numpy — O(out pixels), vectorized, deterministic."""
+    import numpy as np
+
+    arr = _decode_rgb_array(content)
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return _encode_ppm(arr[rows][:, cols])
+
+
+RESIZE_DDL = (
+    "media_id long, src_width int, src_height int, width int, height int, "
+    "resized binary, decode_error string"
+)
+
+
+def resize(media: DataFrame, out_w: int, out_h: int, partitions: int | None = None) -> DataFrame:
+    """Distributed resize stage: filter to images (pushdown-friendly —
+    the kind predicate reaches the scan before any Python runs), salted
+    repartition by media_id for payload-size skew, then an Arrow-batched
+    mapInPandas kernel with per-row quarantine (D9 semantics)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sw, sh, out, errs = [], [], [], []
+            for content in pdf["content"]:
+                if content is None or len(content) == 0:
+                    sw.append(None), sh.append(None), out.append(None)
+                    errs.append("empty")
+                    continue
+                b = bytes(content)
+                try:
+                    w, h, *_ = decode_image(b)
+                    sw.append(w), sh.append(h)
+                    out.append(resize_image(b, out_w, out_h))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    sw.append(None), sh.append(None), out.append(None)
+                    errs.append(f"decode:{type(e).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": pd.array(sw, dtype="Int32"),
+                    "src_height": pd.array(sh, dtype="Int32"),
+                    "width": pd.array(
+                        [out_w if e is None else None for e in errs], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [out_h if e is None else None for e in errs], dtype="Int32"
+                    ),
+                    "resized": out,
+                    "decode_error": errs,
+                }
+            )
+
+    df = media.filter(F.col("kind") == "image")
+    if partitions:
+        df = df.repartition(partitions, F.pmod(F.xxhash64("media_id"), F.lit(partitions)))
+    return df.mapInPandas(kernel, schema=RESIZE_DDL)
+
+
+# --------------------------------------------------------------------------
+# Frame sampling. Real video codecs are absent from this container, so
+# the frame-sample path is exercised end-to-end with a minimal REAL
+# container format ("FV01": magic + u16 w/h/n_frames + raw RGB frames)
+# — the parse, stride math, per-frame extraction, explode-shaped output
+# and quarantine are all genuine; only the codec is simplified.
+# --------------------------------------------------------------------------
+
+FVID_MAGIC = b"FV01"
+
+FRAME_DDL = (
+    "media_id long, frame_idx int, width int, height int, "
+    "frame binary, decode_error string"
+)
+
+
+def make_fvid(w: int, h: int, n_frames: int, seed: int = 0) -> bytes:
+    """Deterministic FV01 container for tests: each frame's pixels are a
+    distinct byte ramp so sampled frames are distinguishable."""
+    import struct
+
+    frames = b"".join(
+        bytes((seed + f * 17 + i) % 256 for i in range(3 * w * h))
+        for f in range(n_frames)
+    )
+    return FVID_MAGIC + struct.pack("<HHH", w, h, n_frames) + frames
+
+
+def sample_frames(content: bytes, every_k: int) -> list[tuple[int, int, int, bytes]]:
+    """Parse an FV01 payload and return every k-th frame (always
+    including frame 0) as (frame_idx, w, h, P6 bytes)."""
+    import struct
+
+    if content[:4] != FVID_MAGIC:
+        raise DecodeUnavailable("video codec libraries not present in this environment")
+    if len(content) < 10:
+        raise CorruptImage("fvid: truncated header")
+    w, h, n_frames = struct.unpack_from("<HHH", content, 4)
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise CorruptImage("fvid: implausible dimensions")
+    frame_bytes = 3 * w * h
+    if 10 + n_frames * frame_bytes > len(content):
+        raise CorruptImage("fvid: frame data truncated")
+    mv = memoryview(content)
+    out = []
+    for idx in range(0, n_frames, max(every_k, 1)):
+        base = 10 + idx * frame_bytes
+        out.append(
+            (idx, w, h, f"P6\n{w} {h}\n255\n".encode() + bytes(mv[base : base + frame_bytes]))
+        )
+    return out
+
+
+def frame_sample(media: DataFrame, every_k: int = 2, partitions: int | None = None) -> DataFrame:
+    """Distributed frame sampling: one OUTPUT row per sampled frame
+    (explode-shaped mapInPandas — row count grows inside the kernel, so
+    no upstream explode materializes whole videos as Spark rows).
+    Undecodable/corrupt payloads yield a single quarantine row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, frames, errs = [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    ids.append(mid), idxs.append(None), ws.append(None)
+                    hs.append(None), frames.append(None), errs.append("empty")
+                    continue
+                try:
+                    for idx, w, h, ppm in sample_frames(bytes(content), every_k):
+                        ids.append(mid), idxs.append(idx), ws.append(w)
+                        hs.append(h), frames.append(ppm), errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    ids.append(mid), idxs.append(None), ws.append(None)
+                    hs.append(None), frames.append(None)
+                    errs.append(f"decode:{type(e).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "frame": frames,
+                    "decode_error": errs,
+                }
+            )
+
+    df = media.filter(F.col("kind") == "video")
+    if partitions:
+        df = df.repartition(partitions, F.pmod(F.xxhash64("media_id"), F.lit(partitions)))
+    return df.mapInPandas(kernel, schema=FRAME_DDL)
+
+
 def make_bmp(w: int, h: int, seed: int = 0) -> bytes:
     """Deterministic uncompressed 24-bpp bottom-up BMP for tests."""
     import struct
@@ -213,7 +402,9 @@ def synth_media(spark, n: int = 64):
     deliberately skewed, one empty payload per 16). Every 5th image row
     carries a REAL decodable payload (BMP or PPM, alternating) so the
     real decode kernel is exercised in the distributed path; every 13th
-    image row is a corrupt BMP (quarantine path)."""
+    image row is a corrupt BMP (quarantine path). Video rows mirror the
+    same scheme with FV01 containers (real frame-sample path / corrupt
+    container / opaque bytes)."""
     rows = []
     for i in range(n):
         size = (i * 977) % 4096 + (8192 if i % 11 == 0 else 0)
@@ -227,6 +418,12 @@ def synth_media(spark, n: int = 64):
                     if i % 2
                     else make_ppm(8 + i % 16, 4 + i % 8, seed=i)
                 )
+        if i % 16 and i % 3 == 2:  # kind == "video" rows
+            if i % 13 == 0:
+                # corrupt: claims FV01 but frame data truncated
+                payload = make_fvid(4, 4, 6, seed=i)[:24]
+            elif i % 5 == 0:
+                payload = make_fvid(4 + i % 8, 2 + i % 4, 5 + i % 7, seed=i)
         kind = ("image", "audio", "video")[i % 3]
         rows.append(
             (

