@@ -29,6 +29,7 @@ _GATE_PRIORITY = [
     "quality_tiers",
     "lang_rollup",
     "latest_capture",
+    "quantile_sketch_check",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

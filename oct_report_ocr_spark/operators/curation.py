@@ -548,6 +548,46 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Quantile-sketch contract (the GK/KLL companion to the HLL contract in
+# approx_distinct_check): each engine runs its own approx-percentile
+# sketch over document lengths; the comparable output is the EXACT
+# interpolated quantile (deterministic — a linear interpolation between
+# two exact BIGINTs, bit-identical across engines) plus flags that the
+# sketch landed within 5% of it. At 10¹² rows the pipeline runs ONLY
+# the sketch (fixed-size state, map-side mergeable); the exact quantile
+# is the small-sf truth the contract is checked against.
+# --------------------------------------------------------------------------
+
+
+def q_quantile_sketch_check(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    p50 = F.percentile("n_chars", F.lit(0.5))
+    p90 = F.percentile("n_chars", F.lit(0.9))
+    a50 = F.percentile_approx("n_chars", F.lit(0.5), F.lit(1000))
+    a90 = F.percentile_approx("n_chars", F.lit(0.9), F.lit(1000))
+    return d.groupBy("lang").agg(
+        p50.alias("exact_p50"),
+        p90.alias("exact_p90"),
+        (F.abs(a50.cast("double") - p50) / p50 < 0.05).alias("p50_within_5pct"),
+        (F.abs(a90.cast("double") - p90) / p90 < 0.05).alias("p90_within_5pct"),
+    )
+
+
+SQL_QUANTILE_SKETCH_CHECK = """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS exact_p50,
+       quantile_cont(n_chars, 0.9) AS exact_p90,
+       (ABS(CAST(approx_quantile(n_chars, 0.5) AS DOUBLE)
+            - quantile_cont(n_chars, 0.5)) / quantile_cont(n_chars, 0.5)
+        < 0.05) AS p50_within_5pct,
+       (ABS(CAST(approx_quantile(n_chars, 0.9) AS DOUBLE)
+            - quantile_cont(n_chars, 0.9)) / quantile_cont(n_chars, 0.9)
+        < 0.05) AS p90_within_5pct
+FROM documents WHERE n_chars > 0 GROUP BY lang
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -558,4 +598,5 @@ QUERIES: dict = {
     "quality_tiers": (q_quality_tiers, SQL_QUALITY_TIERS),
     "lang_rollup": (q_lang_rollup, SQL_LANG_ROLLUP),
     "latest_capture": (q_latest_capture, SQL_LATEST_CAPTURE),
+    "quantile_sketch_check": (q_quantile_sketch_check, SQL_QUANTILE_SKETCH_CHECK),
 }

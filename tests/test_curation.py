@@ -191,3 +191,34 @@ def test_latest_capture_picks_newer_capture(spark):
         else:
             want = hashlib.md5(r.text.encode()).hexdigest()
             assert got.n_captures == 1 and got.latest_md5 == want
+
+
+def test_quantile_sketch_contract(spark):
+    """Exact quantiles match an independent linear-interpolation
+    reference per lang ((1-g)*lower + g*upper — the symmetric lerp form
+    both engines use; the lower+(upper-lower)*g ordering differs in the
+    last ulp), and the sketch contract holds at this sf."""
+
+    def lerp_quantile(sorted_vals, p):
+        k = (len(sorted_vals) - 1) * p
+        lo = int(k)
+        hi = min(lo + 1, len(sorted_vals) - 1)
+        g = k - lo
+        return (1 - g) * sorted_vals[lo] + g * sorted_vals[hi]
+
+    rows = curation.q_quantile_sketch_check(spark, SF_SMOKE).collect()
+    src = (
+        curation.load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("lang", "n_chars")
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in src:
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    assert {r.lang for r in rows} == set(by_lang)
+    for r in rows:
+        vals = sorted(float(v) for v in by_lang[r.lang])
+        assert r.exact_p50 == lerp_quantile(vals, 0.5)
+        assert r.exact_p90 == lerp_quantile(vals, 0.9)
+        assert r.p50_within_5pct and r.p90_within_5pct
