@@ -30,6 +30,7 @@ _GATE_PRIORITY = [
     "lang_rollup",
     "latest_capture",
     "quantile_sketch_check",
+    "dedup_components",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

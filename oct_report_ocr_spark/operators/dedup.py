@@ -569,6 +569,130 @@ def q_dedup_pipeline_full(spark: SparkSession, sf: str) -> DataFrame:
     return _survivor_verdict(all_pairs)
 
 
+CC_MAX_ROUNDS = 32  # rounds = dup-graph diameter; template families are shallow
+
+
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive-closure duplicate CLUSTERS over the recall-complete
+    verified-pair graph (capped-LSH ∪ heavy-bucket pairs) — the step the
+    per-pair survivor verdict cannot express: with A~B and B~C but A≁C,
+    ``_survivor_verdict`` gives B and C different survivors and one
+    template family dedups into two clusters. Components collapses it.
+
+    Algorithm: BSP min-label propagation (the GraphX/GraphFrames
+    connectedComponents pattern) — each round every node takes the min
+    label among itself and its neighbours; fixpoint when the exact
+    DECIMAL label-sum stops changing (monotone non-increasing, so
+    equality == convergence, no float slack). Rounds = graph diameter;
+    near-dup graphs are shallow template families, so diameter-bounded
+    propagation needs fewer shuffles here than the O(log² n)-round
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014), which is
+    the drop-in upgrade if a corpus ever shows deep chains. Each round
+    is ONE shuffle of the edge list; ``localCheckpoint(eager=True)``
+    truncates lineage so round N never replays rounds 1..N-1; the
+    convergence probe is a one-row aggregate — the standard (and only)
+    driver action for iterative BSP on Spark.
+
+    Output: (doc_id, component_id, n_members) for every doc in the dup
+    graph; component_id is the component's min doc_id.
+    """
+    from pyspark.sql import Window
+
+    capped = _verify_pairs(spark, sf, q_minhash_lsh_pairs_capped(spark, sf))
+    heavy = q_dedup_heavy_pass(spark, sf)
+    pairs = (
+        capped.select("doc_a", "doc_b")
+        .unionAll(heavy.select("doc_a", "doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev = object()
+    for _ in range(CC_MAX_ROUNDS):
+        prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
+            F.col("dst").alias("doc_id"), "label"
+        )
+        labels = (
+            labels.unionAll(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        metric = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if metric == prev:
+            break
+        prev = metric
+    else:
+        raise RuntimeError(
+            f"components did not converge in {CC_MAX_ROUNDS} rounds"
+        )
+    edges.unpersist()
+    w = Window.partitionBy("component_id")
+    return labels.select("doc_id", F.col("label").alias("component_id")).withColumn(
+        "n_members", F.count(F.lit(1)).over(w)
+    )
+
+
+def _dedup_components_sql() -> str:
+    # same pair CTEs as _dedup_pipeline_full_sql, then reachability via a
+    # recursive CTE: min over reachable labels == component min (graph is
+    # symmetrized, so reachable set == component)
+    capped = SQL_MINHASH_LSH_PAIRS_CAPPED.rstrip()
+    heavy = SQL_DEDUP_HEAVY_PASS.rstrip()
+    return f"""
+WITH RECURSIVE capped_cand AS (
+{capped}
+), heavy_verified AS (
+{heavy}
+), toksc AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ws
+  FROM documents WHERE n_chars > 0
+), gc AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(ws) - {SHINGLE - 1}),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+  FROM toksc WHERE len(ws) >= {SHINGLE}
+), capped_verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM capped_cand c
+  JOIN gc a ON a.doc_id = c.doc_a
+  JOIN gc b ON b.doc_id = c.doc_b
+  WHERE ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= {JACCARD_DUP_THRESHOLD}
+), all_pairs AS (
+  SELECT DISTINCT doc_a, doc_b
+  FROM (SELECT doc_a, doc_b FROM capped_verified UNION ALL SELECT doc_a, doc_b FROM heavy_verified)
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM all_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM all_pairs
+), reach(doc_id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+), comp AS (
+  SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id
+)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS n_members
+FROM comp
+"""
+
+
 def _dedup_pipeline_sql() -> str:
     # candidate CTEs from the capped-LSH query, wrapped and joined to
     # exact gram sets for the verify + verdict stages
@@ -644,6 +768,7 @@ QUERIES: dict = {
     "lsh_heavy_buckets": (q_lsh_heavy_buckets, SQL_LSH_HEAVY_BUCKETS),
     "dedup_heavy_pass": (q_dedup_heavy_pass, SQL_DEDUP_HEAVY_PASS),
     "dedup_pipeline_full": (q_dedup_pipeline_full, _dedup_pipeline_full_sql()),
+    "dedup_components": (q_dedup_components, _dedup_components_sql()),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
 }

@@ -1,0 +1,74 @@
+"""Connected-components dedup clustering: Spark BSP result vs an
+independent union-find ground truth over the same verified-pair graph."""
+
+from tests.conftest import SF_SMOKE
+
+from oct_report_ocr_spark.operators import dedup
+
+
+def _union_find_partition(pairs):
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    return comps
+
+
+def test_components_match_union_find(spark):
+    rows = dedup.q_dedup_components(spark, SF_SMOKE).collect()
+    got = {r.doc_id: (r.component_id, r.n_members) for r in rows}
+
+    pairs = (
+        dedup._verify_pairs(
+            spark, SF_SMOKE, dedup.q_minhash_lsh_pairs_capped(spark, SF_SMOKE)
+        )
+        .select("doc_a", "doc_b")
+        .unionAll(
+            dedup.q_dedup_heavy_pass(spark, SF_SMOKE).select("doc_a", "doc_b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert pairs, "test graph is vacuous at this sf"
+    truth = _union_find_partition([(p.doc_a, p.doc_b) for p in pairs])
+
+    # same node set, and per node: component id == min member of its
+    # union-find class, n_members == class size
+    want = {}
+    for root, members in truth.items():
+        for m in members:
+            want[m] = (min(members), len(members))
+    assert got == want
+
+    # transitivity the per-pair survivor verdict cannot express: at least
+    # one component must be larger than a single edge (chained dups)
+    assert any(n > 2 for _, n in got.values())
+
+
+def test_components_edge_endpoints_agree(spark):
+    rows = dedup.q_dedup_components(spark, SF_SMOKE).collect()
+    label = {r.doc_id: r.component_id for r in rows}
+    pairs = (
+        dedup._verify_pairs(
+            spark, SF_SMOKE, dedup.q_minhash_lsh_pairs_capped(spark, SF_SMOKE)
+        )
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    for p in pairs:
+        assert label[p.doc_a] == label[p.doc_b]
