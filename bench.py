@@ -74,6 +74,8 @@ HEADLINE_QUERIES = [
     "quality_tiers",
     "lang_rollup",
     "latest_capture",
+    "quantile_sketch_check",
+    "dedup_components",
 ]
 
 
@@ -171,10 +173,14 @@ def run_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
     qs = entry.queries()
     out: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
-        df = qs[name](spark, sf_dir)
         times = []
         for _ in range(max(1, repeats)):
+            # construction INSIDE the timer: free for lazy plans, but
+            # iterative BSP operators (dedup_components) run their
+            # convergence loop eagerly at build time — timing only the
+            # returned DataFrame would hide their real cost
             t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
             _noop_write(df)
             times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 3)
