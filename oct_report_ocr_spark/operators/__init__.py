@@ -31,6 +31,7 @@ _GATE_PRIORITY = [
     "latest_capture",
     "quantile_sketch_check",
     "dedup_components",
+    "dedup_survivors",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

@@ -579,20 +579,23 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     ``_survivor_verdict`` gives B and C different survivors and one
     template family dedups into two clusters. Components collapses it.
 
-    Algorithm: BSP min-label propagation (the GraphX/GraphFrames
-    connectedComponents pattern) — each round every node takes the min
-    label among itself and its neighbours; fixpoint when the exact
-    DECIMAL label-sum stops changing (monotone non-increasing, so
-    equality == convergence, no float slack). Rounds = graph diameter;
-    near-dup graphs are shallow template families, so diameter-bounded
-    propagation needs fewer shuffles here than the O(log² n)-round
-    alternating large-star/small-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014), which is
-    the drop-in upgrade if a corpus ever shows deep chains. Each round
-    is ONE shuffle of the edge list; ``localCheckpoint(eager=True)``
-    truncates lineage so round N never replays rounds 1..N-1; the
-    convergence probe is a one-row aggregate — the standard (and only)
-    driver action for iterative BSP on Spark.
+    Algorithm: BSP min-label propagation with pointer jumping — each
+    round every node takes the min label among itself and its
+    neighbours (one edge-list shuffle, the GraphX/GraphFrames
+    connectedComponents step), then compresses ``label ←
+    label(label)`` (one self-join), which halves chain depth each
+    round, so convergence is O(log diameter) rounds instead of
+    O(diameter) — the same asymptotics the alternating
+    large-star/small-star algorithm achieves (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
+    Fixpoint when the exact DECIMAL label-sum stops changing (labels
+    are monotone non-increasing, so equality == convergence, no float
+    slack). The verified pair list is eagerly checkpointed ONCE before
+    symmetrization — without it each round's lineage would replay the
+    whole LSH verify cascade; ``localCheckpoint(eager=True)`` likewise
+    truncates per-round lineage. The convergence probe is a one-row
+    aggregate — the standard (and only) driver action for iterative
+    BSP on Spark.
 
     Output: (doc_id, component_id, n_members) for every doc in the dup
     graph; component_id is the component's min doc_id.
@@ -605,6 +608,7 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         capped.select("doc_a", "doc_b")
         .unionAll(heavy.select("doc_a", "doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)  # materialize the LSH cascade once
     )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -624,10 +628,17 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
             F.col("dst").alias("doc_id"), "label"
         )
+        merged = (
+            labels.unionAll(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: a label is itself a node id, so look up ITS
+        # label and adopt it (always ≤) — chain depth halves per round
+        lut = merged.select(
+            F.col("doc_id").alias("lbl"), F.col("label").alias("root")
+        )
         labels = (
-            labels.unionAll(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
+            merged.join(lut, merged["label"] == lut["lbl"], "left")
+            .select("doc_id", F.coalesce("root", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
         metric = labels.agg(
@@ -647,7 +658,7 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _dedup_components_sql() -> str:
+def _components_core_sql() -> str:
     # same pair CTEs as _dedup_pipeline_full_sql, then reachability via a
     # recursive CTE: min over reachable labels == component min (graph is
     # symmetrized, so reachable set == component)
@@ -686,11 +697,64 @@ WITH RECURSIVE capped_cand AS (
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
 ), comp AS (
   SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id
-)
+)"""
+
+
+def _dedup_components_sql() -> str:
+    return (
+        _components_core_sql()
+        + """
 SELECT doc_id, component_id,
        COUNT(*) OVER (PARTITION BY component_id) AS n_members
 FROM comp
 """
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The cleaned corpus after transitive near-dup clustering — what a
+    training pipeline actually feeds the tokenizer: every document NOT
+    in the dup graph, plus exactly one representative (the min doc_id)
+    per duplicate cluster. ``is_cluster_rep`` distinguishes the two, so
+    downstream mixing can re-weight survivors by their cluster mass.
+
+    Scale shape: the component table is small relative to the corpus
+    (only docs in the dup graph); the anti-join and the rep-flag join
+    both hash-shuffle on doc_id — at 10¹² docs AQE turns them into
+    broadcast joins whenever the dup set fits, and the corpus side
+    stays a single pruned scan either way."""
+    comp = q_dedup_components(spark, sf)
+    losers = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    reps = (
+        comp.filter(F.col("doc_id") == F.col("component_id"))
+        .select("doc_id")
+        .withColumn("rep", F.lit(True))
+    )
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    return (
+        d.join(losers, "doc_id", "left_anti")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.coalesce("rep", F.lit(False)).alias("is_cluster_rep"),
+        )
+    )
+
+
+def _dedup_survivors_sql() -> str:
+    return (
+        _components_core_sql()
+        + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       (d.doc_id IN (SELECT doc_id FROM comp WHERE doc_id = component_id)) AS is_cluster_rep
+FROM documents d
+WHERE d.n_chars > 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+"""
+    )
 
 
 def _dedup_pipeline_sql() -> str:
@@ -769,6 +833,7 @@ QUERIES: dict = {
     "dedup_heavy_pass": (q_dedup_heavy_pass, SQL_DEDUP_HEAVY_PASS),
     "dedup_pipeline_full": (q_dedup_pipeline_full, _dedup_pipeline_full_sql()),
     "dedup_components": (q_dedup_components, _dedup_components_sql()),
+    "dedup_survivors": (q_dedup_survivors, _dedup_survivors_sql()),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
 }

@@ -60,6 +60,33 @@ def test_components_match_union_find(spark):
     assert any(n > 2 for _, n in got.values())
 
 
+def test_survivors_complement_cluster_losers(spark):
+    from pyspark.sql import functions as F
+
+    from oct_report_ocr_spark.operators.relational import load
+
+    comp = {
+        r.doc_id: r.component_id
+        for r in dedup.q_dedup_components(spark, SF_SMOKE).collect()
+    }
+    losers = {d for d, c in comp.items() if d != c}
+    all_docs = {
+        r.doc_id
+        for r in load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id")
+        .collect()
+    }
+    rows = dedup.q_dedup_survivors(spark, SF_SMOKE).collect()
+    got = {r.doc_id: r.is_cluster_rep for r in rows}
+    assert set(got) == all_docs - losers
+    # flag semantics: True iff the doc heads a (≥2-member) dup cluster
+    reps = {d for d, c in comp.items() if d == c}
+    for doc_id, flag in got.items():
+        assert flag == (doc_id in reps)
+    assert any(got.values()) and not all(got.values())
+
+
 def test_components_edge_endpoints_agree(spark):
     rows = dedup.q_dedup_components(spark, SF_SMOKE).collect()
     label = {r.doc_id: r.component_id for r in rows}
