@@ -76,6 +76,8 @@ HEADLINE_QUERIES = [
     "latest_capture",
     "quantile_sketch_check",
     "dedup_components",
+    "mix_weights",
+    "context_pack",
 ]
 
 

@@ -32,6 +32,8 @@ _GATE_PRIORITY = [
     "quantile_sketch_check",
     "dedup_components",
     "dedup_survivors",
+    "mix_weights",
+    "context_pack",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

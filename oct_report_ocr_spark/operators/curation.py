@@ -588,6 +588,114 @@ FROM documents WHERE n_chars > 0 GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Data mixing + sequence packing: the two steps between "cleaned corpus"
+# and "training batches".
+# --------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7  # sampling temperature: p_i ∝ n_i^α (multilingual-LM rule)
+
+
+def q_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the data-mixing
+    rule p_i ∝ n_i^α (α < 1 upsamples small sources, the standard
+    multilingual/multi-corpus recipe). One tiny hash aggregate on
+    ``source`` (map-side combined), then the normalization is a window
+    over the HANDFUL of aggregated rows — never over documents, so at
+    10¹² docs this is one shuffle of per-source partials plus a
+    single-partition pass over ~dozens of rows."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA))
+    total = F.sum(w).over(Window.partitionBy())
+    return counts.select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(w / total, 6).alias("mix_weight"),
+    )
+
+
+SQL_MIX_WEIGHTS = f"""
+WITH counts AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents WHERE n_chars > 0 GROUP BY source
+)
+SELECT source, n_docs, n_chars_total,
+       ROUND(POWER(n_docs, {MIX_ALPHA}) / SUM(POWER(n_docs, {MIX_ALPHA})) OVER (), 6) AS mix_weight
+FROM counts
+"""
+
+
+# Tokens per packed training sequence. Production budgets are 2k–8k;
+# 256 keeps the oracle non-vacuous at test scale (the largest
+# (lang, bucket) group holds ~1.2k tokens at sf0.01, so a 2k budget
+# would never open a second sequence — the BAND_CAP=2 reasoning).
+PACK_TOKEN_BUDGET = 256
+
+
+def q_context_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sequence packing: assign each document to a fixed
+    token-budget training sequence via a running token count in
+    content-hash order — ``seq_id = (exclusive cumsum) div budget``,
+    the 'chunked' packing a corpus-scale pipeline uses because it is
+    ONE window cumsum, not a bin-packing solver. PRNG-free and
+    retry/partition-stable (same hash-order trick as
+    ``stratified_sample``). Packing runs per (lang, bucket) where
+    bucket is the first md5 hex digit: the sort behind the cumsum
+    stays bounded per bucket instead of one global per-lang sort — at
+    10¹² docs widen the bucket prefix, same plan shape. Integer
+    arithmetic end-to-end (bit-identical across engines)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    h = F.md5(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "lang",
+        h.alias("h"),
+        F.substring(h, 1, 1).alias("bucket"),
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).select(
+        "doc_id",
+        "lang",
+        "bucket",
+        "n_tokens",
+        F.expr(f"cum_before div {PACK_TOKEN_BUDGET}").alias("seq_id"),
+    )
+
+
+SQL_CONTEXT_PACK = f"""
+WITH base AS (
+  SELECT doc_id, lang, md5(text) AS h, substr(md5(text), 1, 1) AS bucket,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+  FROM documents WHERE n_chars > 0
+), packed AS (
+  SELECT doc_id, lang, bucket, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM base
+)
+SELECT doc_id, lang, bucket, n_tokens, cum_before // {PACK_TOKEN_BUDGET} AS seq_id
+FROM packed
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -599,4 +707,6 @@ QUERIES: dict = {
     "lang_rollup": (q_lang_rollup, SQL_LANG_ROLLUP),
     "latest_capture": (q_latest_capture, SQL_LATEST_CAPTURE),
     "quantile_sketch_check": (q_quantile_sketch_check, SQL_QUANTILE_SKETCH_CHECK),
+    "mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
+    "context_pack": (q_context_pack, SQL_CONTEXT_PACK),
 }

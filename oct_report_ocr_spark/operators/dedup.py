@@ -600,16 +600,27 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     Output: (doc_id, component_id, n_members) for every doc in the dup
     graph; component_id is the component's min doc_id.
     """
-    from pyspark.sql import Window
-
     capped = _verify_pairs(spark, sf, q_minhash_lsh_pairs_capped(spark, sf))
     heavy = q_dedup_heavy_pass(spark, sf)
     pairs = (
         capped.select("doc_a", "doc_b")
         .unionAll(heavy.select("doc_a", "doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=True)  # materialize the LSH cascade once
     )
+    return components_from_pairs(spark, pairs)
+
+
+def components_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """The BSP kernel behind ``q_dedup_components``, reusable for any
+    undirected (doc_a, doc_b) pair set (see the query docstring for the
+    algorithm). Exposed separately so tests can drive it with synthetic
+    graphs whose diameter exceeds what LSH collisions produce at test
+    scale — a 100-node chain converges only because of the
+    pointer-jumping step (plain min propagation would need 99 rounds >
+    CC_MAX_ROUNDS)."""
+    from pyspark.sql import Window
+
+    pairs = pairs.localCheckpoint(eager=True)  # materialize upstream once
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(

@@ -193,6 +193,66 @@ def test_latest_capture_picks_newer_capture(spark):
             assert got.n_captures == 1 and got.latest_md5 == want
 
 
+def test_mix_weights_temperature_upsamples_small_sources(spark):
+    rows = curation.q_mix_weights(spark, SF_SMOKE).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    total_docs = sum(r.n_docs for r in rows)
+    # α < 1 compresses the range: every source's sampled share sits
+    # closer to uniform than its raw document share
+    n_src = len(rows)
+    for r in rows:
+        raw = r.n_docs / total_docs
+        uniform = 1.0 / n_src
+        assert (
+            min(raw, uniform) - 1e-6
+            <= r.mix_weight
+            <= max(raw, uniform) + 1e-6
+        )
+        if raw < uniform:
+            assert r.mix_weight > raw  # small source upsampled
+    # exact integer columns agree with an independent recount
+    src = (
+        curation.load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .collect()
+    )
+    want: dict = {}
+    for s in src:
+        n, c = want.get(s.source, (0, 0))
+        want[s.source] = (n + 1, c + s.n_chars)
+    assert {r.source: (r.n_docs, r.n_chars_total) for r in rows} == want
+
+
+def test_context_pack_matches_greedy_recompute(spark):
+    import hashlib
+
+    rows = curation.q_context_pack(spark, SF_SMOKE).collect()
+    src = (
+        curation.load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .collect()
+    )
+    # independent recompute: hash order per (lang, bucket), exclusive
+    # running token count, chunked assignment
+    import re
+
+    groups: dict = {}
+    for s in src:
+        h = hashlib.md5(s.text.encode()).hexdigest()
+        n_tok = len(re.split(" +", s.text.strip()))
+        groups.setdefault((s.lang, h[0]), []).append((h, s.doc_id, n_tok))
+    want = {}
+    for (lang, bucket), docs in groups.items():
+        cum = 0
+        for h, doc_id, n_tok in sorted(docs):
+            want[doc_id] = (lang, bucket, n_tok, cum // curation.PACK_TOKEN_BUDGET)
+            cum += n_tok
+    got = {r.doc_id: (r.lang, r.bucket, r.n_tokens, r.seq_id) for r in rows}
+    assert got == want
+    # packing is non-trivial at this sf: some group fills >1 sequence
+    assert any(seq > 0 for _, _, _, seq in got.values())
+
+
 def test_quantile_sketch_contract(spark):
     """Exact quantiles match an independent linear-interpolation
     reference per lang ((1-g)*lower + g*upper — the symmetric lerp form

@@ -87,6 +87,36 @@ def test_survivors_complement_cluster_losers(spark):
     assert any(got.values()) and not all(got.values())
 
 
+def test_kernel_deep_chain_needs_pointer_jumping(spark):
+    """A 100-node path graph has diameter 99 > CC_MAX_ROUNDS: plain
+    min-label propagation cannot converge inside the round budget, so
+    this passing proves the pointer-jumping step works."""
+    n = 100
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a: long, doc_b: long"
+    )
+    rows = dedup.components_from_pairs(spark, pairs).collect()
+    assert len(rows) == n
+    assert all(r.component_id == 0 and r.n_members == n for r in rows)
+
+
+def test_kernel_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(200), 2))) for _ in range(120)}
+    )
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    rows = dedup.components_from_pairs(spark, pairs).collect()
+    truth = _union_find_partition(edges)
+    want = {}
+    for _, members in truth.items():
+        for m in members:
+            want[m] = (min(members), len(members))
+    assert {r.doc_id: (r.component_id, r.n_members) for r in rows} == want
+
+
 def test_components_edge_endpoints_agree(spark):
     rows = dedup.q_dedup_components(spark, SF_SMOKE).collect()
     label = {r.doc_id: r.component_id for r in rows}
