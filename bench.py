@@ -78,6 +78,7 @@ HEADLINE_QUERIES = [
     "dedup_components",
     "mix_weights",
     "context_pack",
+    "kmeans_step",
 ]
 
 

@@ -34,6 +34,7 @@ _GATE_PRIORITY = [
     "dedup_survivors",
     "mix_weights",
     "context_pack",
+    "kmeans_step",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

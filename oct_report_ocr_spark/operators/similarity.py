@@ -361,8 +361,65 @@ GROUP BY vec_b
 SQL_EMBEDDING_DEDUP_PIPELINE = _embedding_dedup_sql()
 
 
+def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    centroid-refinement step that turns the deterministic IVF seed
+    centroids (``q_ann_ivf_assign``) into trained ones. Output is the
+    flat (centroid_id, pos, n_assigned, mean_val) form: per-cluster
+    element-wise means plus cluster sizes, which the next iteration
+    (or the IVF probe path) reads back as its centroid table.
+
+    Scale shape: assignment is the broadcast-K argmin from
+    q_ann_ivf_assign; the refinement explodes each vector into
+    (dim, value) rows map-side and runs ONE hash aggregate on
+    (centroid_id, pos) — partial sums combine map-side, so the shuffle
+    carries K × DIM partials per task, not 10⁹ vectors. Iterating to
+    convergence is this query re-run with the previous output as the
+    centroid table (same driver-loop pattern as
+    dedup.components_from_pairs).
+
+    Mean values round to 6 dp: cross-engine float-sum ordering differs
+    in the last ulp, and (as with linreg/jaccard) rounding pins the
+    comparable surface while keeping the full-precision value inside
+    the plan."""
+    assign = q_ann_ivf_assign(spark, sf).select("vec_id", "centroid_id")
+    e = load(spark, sf, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    flat = vecs.join(assign, "vec_id").select(
+        "centroid_id", F.posexplode("v").alias("pos", "val")
+    )
+    return flat.groupBy("centroid_id", F.col("pos").cast("long").alias("pos")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg("val"), 6).alias("mean_val"),
+    )
+
+
+SQL_KMEANS_STEP = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id BETWEEN 1 AND {IVF_K}),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         ROUND({_DOT_SQL.format(a="v.v", b="c.cv")}
+               / ({_NORM_SQL.format(v="v.v")} * {_NORM_SQL.format(v="c.cv")}), 6) AS cos
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+), assign AS (
+  SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+), flat AS (
+  SELECT a.centroid_id, p.i AS pos, v.v[p.i + 1] AS val
+  FROM assign a JOIN v ON v.vec_id = a.vec_id,
+       (SELECT unnest(range(0, len(v.v))) AS i) p
+)
+SELECT centroid_id, pos, COUNT(*) AS n_assigned, ROUND(AVG(val), 6) AS mean_val
+FROM flat GROUP BY centroid_id, pos
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
+    "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),

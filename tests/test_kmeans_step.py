@@ -1,0 +1,52 @@
+"""kmeans_step: Spark Lloyd iteration vs an independent numpy recompute."""
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+
+from oct_report_ocr_spark.operators import similarity
+from oct_report_ocr_spark.operators.relational import load
+
+
+def test_kmeans_step_matches_numpy(spark):
+    rows = similarity.q_kmeans_step(spark, SF_SMOKE).collect()
+    got = {(r.centroid_id, r.pos): (r.n_assigned, r.mean_val) for r in rows}
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load(spark, SF_SMOKE, "embeddings").collect()
+    }
+    cents = {cid: emb[cid] for cid in range(1, similarity.IVF_K + 1)}
+
+    def cos(a, b):
+        return round(float(a @ b) / (float(np.linalg.norm(a)) * float(np.linalg.norm(b))), 6)
+
+    clusters: dict = {}
+    for vid, v in emb.items():
+        # same tie-break as the query: best cosine, then lowest centroid id
+        best = min(((-cos(v, cv), cid) for cid, cv in cents.items()))[1]
+        clusters.setdefault(best, []).append(v)
+
+    want = {}
+    for cid, vs in clusters.items():
+        mean = np.mean(np.stack(vs), axis=0)
+        for pos in range(similarity.DIM):
+            want[(cid, pos)] = (len(vs), round(float(mean[pos]), 6))
+
+    assert set(got) == set(want)
+    for key, (n, m) in want.items():
+        gn, gm = got[key]
+        assert gn == n
+        # numpy's mean order differs from Spark's partial-agg order;
+        # equality after rounding to 6 dp is the query's own contract
+        assert abs(gm - m) <= 1e-6
+
+    # every vector lands in exactly one cluster
+    assert sum(n for (c, p), (n, _) in got.items() if p == 0) == len(emb)
+    # refinement moved the centroids: at least one mean differs from its seed
+    moved = any(
+        abs(got[(cid, pos)][1] - round(float(cents[cid][pos]), 6)) > 1e-6
+        for cid in cents
+        for pos in range(similarity.DIM)
+    )
+    assert moved
