@@ -417,6 +417,87 @@ FROM flat GROUP BY centroid_id, pos
 """
 
 
+def kmeans_train(
+    spark: SparkSession, sf: str, iters: int = 5
+) -> tuple[dict, list]:
+    """Full Lloyd driver loop: seed from the IVF centroids (vec_id
+    1..K), then iterate assign → recompute-means up to ``iters`` times,
+    stopping early when the assignment fixpoints. Returns
+    ``(centroids, distortion_per_iter)`` where centroids maps
+    centroid_id → list[float] and distortion is the corpus sum of
+    (1 - cos(v, centroid(v))) after each iteration.
+
+    The per-iteration ``collect()`` pulls K × DIM floats — the SAME
+    object a broadcast join would ship, i.e. driver-sized by
+    definition, not a driver-side data loop; every per-vector
+    computation stays in the cluster (broadcast-K argmin + one hash
+    aggregate on (centroid, dim), exactly q_kmeans_step's shape). The
+    library surface for training the IVF index that q_ann_ivf_probe
+    queries; deliberately not a registered query (iterative,
+    centroid-valued output — the rows-only class)."""
+    e = load(spark, sf, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).persist()
+    cents = {
+        int(r.vec_id): list(r.v)
+        for r in vecs.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)
+        ).collect()
+    }
+    distortions: list = []
+    prev_distortion = None
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(cid, cv) for cid, cv in sorted(cents.items())],
+                "centroid_id: long, cv: array<double>",
+            )
+        )
+        joined = vecs.crossJoin(cdf)
+        dot = _fold_sum(F.zip_with("v", "cv", lambda x, y: x * y))
+        nv = F.sqrt(_fold_sum(F.transform("v", lambda x: x * x)))
+        nc = F.sqrt(_fold_sum(F.transform("cv", lambda x: x * x)))
+        scored = joined.select(
+            "vec_id", "centroid_id", "v", (dot / (nv * nc)).alias("cos")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "centroid_id", "v", "cos")
+            .localCheckpoint(eager=True)
+        )
+        distortions.append(
+            float(assigned.agg(F.sum(F.lit(1.0) - F.col("cos"))).collect()[0][0])
+        )
+        new_rows = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cents: dict = {}
+        for r in new_rows:
+            new_cents.setdefault(int(r.centroid_id), [0.0] * DIM)[r.pos] = float(r.m)
+        # empty clusters keep their previous centroid (standard Lloyd fixup)
+        for cid, cv in cents.items():
+            new_cents.setdefault(cid, cv)
+        cents = new_cents
+        # convergence on the one-row distortion scalar (corpus-sized
+        # assignment must never be collected): Lloyd is monotone, so a
+        # non-improving iteration means the assignment fixpointed
+        if prev_distortion is not None and distortions[-1] >= prev_distortion - 1e-12:
+            break
+        prev_distortion = distortions[-1]
+    vecs.unpersist()
+    return cents, distortions
+
+
 QUERIES: dict = {
     "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),

@@ -132,3 +132,40 @@ def lowercase_columns(df: DataFrame) -> DataFrame:
     """P3: rename-to-lowercase normalization (utils.py:477
     ``df.columns = map(str.lower, ...)``) — pure metadata, no shuffle."""
     return df.toDF(*[c.lower() for c in df.columns])
+
+
+def write_training_shards(
+    df: DataFrame, out_path: str, n_shards: int = 8, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic sharded training-data layout — the step after
+    curation/packing that a dataloader consumes: shard =
+    pmod(xxhash64(key), n_shards), each shard written as its own
+    partition directory with rows internally sorted by (shard, key),
+    so re-runs produce identical shard membership and row order
+    regardless of input partitioning or cluster size (the same
+    retry-stability contract as the extraction job's salted buckets).
+
+    One shuffle (the repartition on shard), then a partitioned parquet
+    write; xxhash64 spreads hot keys uniformly so shards stay balanced
+    without sampling. Returns the per-shard manifest (shard, n_rows) —
+    the dataloader's planning table — computed from the same shuffled
+    frame, so manifest and data cannot drift."""
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    sharded = (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", key_col)
+        .persist()
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+    manifest = (
+        sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows")).collect()
+    )
+    sharded.unpersist()
+    spark = df.sparkSession
+    mdf = spark.createDataFrame(
+        sorted([(int(r.shard), int(r.n_rows)) for r in manifest]),
+        "shard: int, n_rows: long",
+    )
+    mdf.coalesce(1).write.mode("overwrite").parquet(out_path + "/_shard_manifest")
+    return mdf

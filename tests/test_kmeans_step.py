@@ -8,6 +8,26 @@ from oct_report_ocr_spark.operators import similarity
 from oct_report_ocr_spark.operators.relational import load
 
 
+def test_kmeans_train_distortion_monotone(spark):
+    cents, distortions = similarity.kmeans_train(spark, SF_SMOKE, iters=5)
+    assert set(cents) == set(range(1, similarity.IVF_K + 1))
+    assert all(len(cv) == similarity.DIM for cv in cents.values())
+    assert len(distortions) >= 2
+    # Lloyd is monotone non-increasing in distortion
+    for a, b in zip(distortions, distortions[1:]):
+        assert b <= a + 1e-9
+    # first iteration must actually improve over the raw seed assignment
+    assert distortions[1] < distortions[0]
+    # iteration 1 recomputes exactly what q_kmeans_step publishes
+    step = {
+        (r.centroid_id, r.pos): r.mean_val
+        for r in similarity.q_kmeans_step(spark, SF_SMOKE).collect()
+    }
+    one_iter_cents, _ = similarity.kmeans_train(spark, SF_SMOKE, iters=1)
+    for (cid, pos), m in step.items():
+        assert abs(one_iter_cents[cid][pos] - m) <= 1e-6
+
+
 def test_kmeans_step_matches_numpy(spark):
     rows = similarity.q_kmeans_step(spark, SF_SMOKE).collect()
     got = {(r.centroid_id, r.pos): (r.n_assigned, r.mean_val) for r in rows}
