@@ -79,6 +79,8 @@ HEADLINE_QUERIES = [
     "mix_weights",
     "context_pack",
     "kmeans_step",
+    "shard_plan",
+    "tfidf_topterms",
 ]
 
 

@@ -35,6 +35,8 @@ _GATE_PRIORITY = [
     "mix_weights",
     "context_pack",
     "kmeans_step",
+    "shard_plan",
+    "tfidf_topterms",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

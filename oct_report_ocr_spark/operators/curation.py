@@ -696,6 +696,143 @@ FROM packed
 """
 
 
+# --------------------------------------------------------------------------
+# Training-shard layout planning + inverse-document-frequency ranking:
+# the last curation steps before the dataloader.
+# --------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def q_shard_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-layout plan for the training-data sink: the oracle-paired
+    twin of ``sources.io.write_training_shards``. The sink uses
+    ``pmod(xxhash64(key), n)`` (JVM-only); this query proves the SAME
+    layout contract — hash-uniform, input-partitioning-independent
+    shard membership — with an engine-portable hash: the first 8 hex
+    digits of md5(doc_id) as an integer, mod N_SHARDS. Emits the
+    dataloader's planning table (per-shard row count, byte mass, and
+    the id range a range-scan reader would seek).
+
+    Scale posture: md5 + the hex fold are map-only codegen; the plan is
+    ONE hash aggregate on an 8-value key with map-side combine — the
+    shuffle carries N_SHARDS partials per task, never rows. At 10¹²
+    docs this is the cheapest possible full-corpus pass."""
+    d = load(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    hv = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return (
+        d.select(
+            F.pmod(hv, F.lit(N_SHARDS)).cast("int").alias("shard"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# DuckDB has no hex→int cast; fold the 8 hex digits positionally. Each
+# term is an exact small-int product in a DOUBLE (< 2^53), so the BIGINT
+# cast is exact and matches Spark's conv(.., 16, 10) bit-for-bit.
+_HEX8_SQL = (
+    "CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)"
+    " * (16.0 ** (8 - i)))) AS BIGINT)"
+)
+
+SQL_SHARD_PLAN = f"""
+SELECT CAST({_HEX8_SQL} % {N_SHARDS} AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY 1
+"""
+
+TFIDF_MIN_TOKEN_LEN = 4  # drop short function words without a stopword list
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-K characteristic terms by tf·idf — the corpus
+    keyword/topic profile a curation pipeline uses for domain mixing
+    and near-topic cluster labeling. Scored in the RATIONAL idf form
+    ``tf · N / df`` (exact integer products → one IEEE division, which
+    is correctly rounded in both engines — bit-identical, unlike
+    ``ln(N/df)`` where libm rounding may differ in the last ulp); for a
+    fixed tf the ranking equals raw-idf ranking, ties broken by term.
+
+    Scale posture: tokenize/explode is map-only; tf is ONE hash
+    aggregate on (doc_id, term); df is a second aggregate over the
+    already-reduced tf frame (never re-touches documents); the corpus
+    doc count joins in as a ONE-row broadcast (Catalyst folds the
+    lit-key equi-condition to a 1-row broadcast nested loop — a
+    map-only scan, exempted as bounded in test_plans alongside the
+    query-vector broadcasts); tf⋈df shuffles on term; the top-K is a
+    bounded per-doc window. No stage carries more than the distinct
+    (doc, term) table."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    toks = d.select(
+        "doc_id", F.explode(_toks()).alias("term")
+    ).filter(F.length("term") >= TFIDF_MIN_TOKEN_LEN)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("k", F.lit(1))
+    scored = (
+        tf.join(df_tab, "term")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(nd), "k")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+SQL_TFIDF_TOPTERMS = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents WHERE n_chars > 0
+  ) WHERE len(t) >= {TFIDF_MIN_TOKEN_LEN}
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents WHERE n_chars > 0
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dft.df AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -709,4 +846,6 @@ QUERIES: dict = {
     "quantile_sketch_check": (q_quantile_sketch_check, SQL_QUANTILE_SKETCH_CHECK),
     "mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
     "context_pack": (q_context_pack, SQL_CONTEXT_PACK),
+    "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
+    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
 }

@@ -138,7 +138,10 @@ def test_no_nested_loop_join_in_any_registered_query(spark):
     # BroadcastNestedLoopJoin over a provably-bounded broadcast side (the
     # single query vector / the K IVF centroids) is a map-only scan — the
     # correct plan at any corpus size. Only these may carry one.
-    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "kmeans_step"}
+    # tfidf_topterms broadcasts the ONE-row corpus doc count (Catalyst
+    # constant-folds the lit-key equi-condition away, leaving a 1-row
+    # BNLJ — a map-only scan, same bounded class as the query vector).
+    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "kmeans_step", "tfidf_topterms"}
     for name, fn in entry.queries().items():
         if name in BASELINE_EXEMPT:
             continue
