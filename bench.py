@@ -166,30 +166,37 @@ def _run_extraction_timed(spark, corpus, mode, shard, repeats):
     return statistics.median(times), n_in
 
 
-def run_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
-    """Per-query wall time, median of ``repeats`` back-to-back
-    executions (the first is the coldest; the median discounts it).
+def run_queries(
+    spark, sf_dir: str, repeats: int = 3
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query (exec_median, build) wall times. Execution is the
+    median of ``repeats`` back-to-back runs of the SAME DataFrame —
     r02's apparent per-query regressions (eav_pivot +49%) were
     single-run noise inside this sandbox's documented window variance
-    (VERDICT r02 item 8) — medians make round-over-round deltas
-    attributable to plan changes."""
+    (VERDICT r02 item 8); medians make round-over-round deltas
+    attributable to plan changes. Construction is timed SEPARATELY and
+    ONCE: for lazy plans it is py4j expression-building overhead (fixed
+    driver cost, amortized to nothing at 100 TB — repeating it 3× was
+    inflating expression-heavy queries like simhash ~6×), while for
+    eager iterative operators (dedup_components' BSP convergence loop)
+    it is the real compute, which the reported build column keeps
+    visible instead of hiding."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
     out: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        builds[name] = round(time.perf_counter() - t0, 3)
         times = []
         for _ in range(max(1, repeats)):
-            # construction INSIDE the timer: free for lazy plans, but
-            # iterative BSP operators (dedup_components) run their
-            # convergence loop eagerly at build time — timing only the
-            # returned DataFrame would hide their real cost
             t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
             _noop_write(df)
             times.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(times), 3)
-    return out
+    return out, builds
 
 
 def bench_once(
@@ -216,7 +223,7 @@ def bench_once(
         "docs_per_sec": round(n_docs / ext_sec, 1),
     }
     if not extract_only:
-        result["queries"] = run_queries(spark, SF_DIR)
+        result["queries"], result["build_sec"] = run_queries(spark, SF_DIR)
     spark.stop()
     return result
 
@@ -624,7 +631,15 @@ Reproduce: `python bench.py --scaling`
     if args.extract_only:
         print(json.dumps(r))
         return
-    total = round(r["extract_sec"] + sum(r["queries"].values()), 3)
+    # value = extract + per-query (build + exec median): build keeps the
+    # eager iterative operators' real compute in the headline number
+    # while exec medians stay comparable round-over-round
+    total = round(
+        r["extract_sec"]
+        + sum(r["queries"].values())
+        + sum(r["build_sec"].values()),
+        3,
+    )
     queries = {"extract_flagship": r["extract_sec"], **r["queries"]}
     print(
         json.dumps(
@@ -633,6 +648,7 @@ Reproduce: `python bench.py --scaling`
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "build_sec": r["build_sec"],
                 "sf": r["sf"],
                 "docs_per_sec": r["docs_per_sec"],
                 "n_docs": r["n_docs"],
