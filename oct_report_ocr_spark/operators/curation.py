@@ -101,22 +101,31 @@ LIMIT 20
 
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    # Widening repartition before the explode (same rationale as the
-    # minhash signature stages): shingling multiplies row count ~50x,
-    # and a coarse upstream layout (one parquet file here; a handful of
-    # giant scan splits at 100 TB) would otherwise serialize it.
-    toked = d.select("doc_id", _toks().alias("toks")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    shingled = toked.select(
-        "doc_id", F.explode(_trigrams(F.col("toks"))).alias("trigram")
-    ).distinct()
+    # Per-doc dedup happens MAP-SIDE via array_distinct before the
+    # explode — semantically identical to DISTINCT (doc_id, trigram)
+    # but with zero shuffle, so the train side never shuffles at all
+    # before the (broadcast) contamination join. The bench branch
+    # re-shingles only its ~1% filtered slice (the doc_id filter
+    # pushes to the scan) instead of sharing — and forcing a
+    # materialized exchange of — the full-corpus shingle table.
+    def shingle(docs):
+        # Widening repartition before the explode (same rationale as
+        # the minhash signature stages): shingling multiplies row count
+        # ~50×, and a coarse upstream layout (one parquet file here; a
+        # handful of giant scan splits at 100 TB) would otherwise
+        # serialize it.
+        toked = docs.select("doc_id", _toks().alias("toks")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        return toked.select(
+            "doc_id",
+            F.explode(F.array_distinct(_trigrams(F.col("toks")))).alias("trigram"),
+        )
+
     bench = (
-        shingled.filter(F.col("doc_id") % 97 == 0)
-        .select("trigram")
-        .distinct()
+        shingle(d.filter(F.col("doc_id") % 97 == 0)).select("trigram").distinct()
     )
-    train = shingled.filter(F.col("doc_id") % 97 != 0)
+    train = shingle(d.filter(F.col("doc_id") % 97 != 0))
     return (
         train.join(F.broadcast(bench), "trigram")
         .groupBy("doc_id")
