@@ -358,12 +358,17 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("doc_id") % 25 == 7, F.lit("\n" + _BOILER_A)).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 25 == 13, F.lit("\n" + _BOILER_B)).otherwise(F.lit("")),
     )
-    paras = d.select(
-        "doc_id", F.explode(F.split(planted, "\n")).alias("para")
-    ).filter(F.length("para") > 0)
-    keyed = paras.select(
-        "doc_id", F.md5(F.col("para").cast("binary")).alias("para_md5")
-    ).distinct()
+    # Per-doc distinct happens MAP-SIDE (array_distinct over the hashed
+    # paragraph list) — semantically identical to DISTINCT (doc_id,
+    # para_md5) but the plan keeps exactly ONE shuffle (the groupBy on
+    # the 16-byte key) instead of two, at any corpus size.
+    para_hashes = F.array_distinct(
+        F.transform(
+            F.filter(F.split(planted, "\n"), lambda p: F.length(p) > 0),
+            lambda p: F.md5(p.cast("binary")),
+        )
+    )
+    keyed = d.select("doc_id", F.explode(para_hashes).alias("para_md5"))
     return (
         keyed.groupBy("para_md5")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("survivor_id"))
