@@ -81,6 +81,7 @@ HEADLINE_QUERIES = [
     "kmeans_step",
     "shard_plan",
     "tfidf_topterms",
+    "tier_extract",
 ]
 
 

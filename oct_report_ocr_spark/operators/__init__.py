@@ -37,6 +37,7 @@ _GATE_PRIORITY = [
     "kmeans_step",
     "shard_plan",
     "tfidf_topterms",
+    "tier_extract",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

@@ -411,9 +411,13 @@ GROUP BY para_md5 HAVING COUNT(*) >= 2
 # --------------------------------------------------------------------------
 
 
-def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
+def _tier_per_doc(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared per-doc tier signals + label (map-only, zero shuffles):
+    the single source of the tier rule for BOTH the per-doc extraction
+    (``tier_extract``) and the per-tier rollup (``quality_tiers``), so
+    the two can never drift."""
     d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
-    d = d.select("doc_id", _toks().alias("toks"))
+    d = d.select("doc_id", "lang", _toks().alias("toks"))
     toks = F.col("toks")
     n_words = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -423,11 +427,49 @@ def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
         .when(n_words >= 30, F.lit("mid"))
         .otherwise(F.lit("low"))
     )
-    per_doc = d.select(
+    return d.select(
+        "doc_id",
+        "lang",
         tier.alias("tier"),
         n_words.cast("bigint").alias("n_words"),
         sum_len.cast("bigint").alias("sum_len"),
+        has_stop.alias("has_stop"),
     )
+
+
+def q_tier_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc tier EXTRACTION — the labeled corpus itself (FineWeb /
+    DCLM-style: every document carries its quality tier downstream for
+    tier-partitioned layout and mixing), where ``quality_tiers`` is the
+    per-tier rollup of the same rule. Map-only native expressions, zero
+    shuffles — scan-bound at any corpus size, the plan a full-corpus
+    labeling pass must have."""
+    return _tier_per_doc(spark, sf).select(
+        "doc_id", "lang", "tier", "n_words", "has_stop"
+    )
+
+
+_TIER_CASE_SQL = """CASE WHEN n_words >= 60 AND has_stop THEN 'high'
+            WHEN n_words >= 30 THEN 'mid'
+            ELSE 'low' END"""
+
+SQL_TIER_EXTRACT = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents WHERE n_chars > 0
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         len(list_intersect(toks, ['the','a','and','of','to'])) > 0 AS has_stop
+  FROM t
+)
+SELECT doc_id, lang, {_TIER_CASE_SQL} AS tier, n_words, has_stop
+FROM m
+"""
+
+
+def q_quality_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    per_doc = _tier_per_doc(spark, sf)
     return per_doc.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_words"),
@@ -862,4 +904,5 @@ QUERIES: dict = {
     "context_pack": (q_context_pack, SQL_CONTEXT_PACK),
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
+    "tier_extract": (q_tier_extract, SQL_TIER_EXTRACT),
 }

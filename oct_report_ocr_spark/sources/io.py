@@ -169,3 +169,35 @@ def write_training_shards(
     )
     mdf.coalesce(1).write.mode("overwrite").parquet(out_path + "/_shard_manifest")
     return mdf
+
+
+def write_tiered_corpus(df: DataFrame, out_path: str) -> DataFrame:
+    """Tier-partitioned corpus layout — the sink after per-doc tier
+    extraction (``tier_extract``): hive-partitioned parquet by
+    (tier, lang) so downstream mixing reads ONLY the tier/lang cells it
+    samples from (partition pruning does the work a filter would
+    otherwise re-scan the corpus for). One shuffle (the repartition on
+    the partition key co-locates each cell into one writer task so
+    small cells produce one file, not one per upstream task), then the
+    partitioned write. Returns the per-cell manifest
+    (tier, lang, n_docs, total_words) computed from the same shuffled
+    frame — the mixing planner's input (see ``q_mix_weights``), and it
+    cannot drift from the data."""
+    tiered = df.repartition("tier", "lang").persist()
+    tiered.write.mode("overwrite").partitionBy("tier", "lang").parquet(out_path)
+    cells = (
+        tiered.groupBy("tier", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .collect()
+    )
+    tiered.unpersist()
+    spark = df.sparkSession
+    mdf = spark.createDataFrame(
+        sorted([(r.tier, r.lang, int(r.n_docs), int(r.total_words)) for r in cells]),
+        "tier: string, lang: string, n_docs: long, total_words: long",
+    )
+    mdf.coalesce(1).write.mode("overwrite").parquet(out_path + "/_cell_manifest")
+    return mdf

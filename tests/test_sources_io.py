@@ -187,3 +187,29 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     assert sorted((r.shard, r.n_rows) for r in man_disk) == sorted(
         (r.shard, r.n_rows) for r in man_a
     )
+
+
+def test_write_tiered_corpus(spark, tmp_path):
+    from oct_report_ocr_spark.operators.curation import q_tier_extract
+
+    labeled = q_tier_extract(spark, os.path.join("/root/testdata", "sf0.001"))
+    out = str(tmp_path / "tiered")
+    man = src_io.write_tiered_corpus(labeled, out)
+    rows = man.collect()
+    assert sum(r.n_docs for r in rows) == labeled.count()
+    assert {r.tier for r in rows} <= {"high", "mid", "low"}
+    # hive partition dirs exist per manifest cell
+    for r in rows:
+        assert os.path.isdir(os.path.join(out, f"tier={r.tier}", f"lang={r.lang}"))
+    # a tier/lang read prunes to that cell and matches the manifest
+    hi = rows[0]
+    back = spark.read.parquet(out).filter(
+        (F.col("tier") == hi.tier) & (F.col("lang") == hi.lang)
+    )
+    assert back.count() == hi.n_docs
+    # partition pruning visible in the plan: scan carries partition filters
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # manifest on disk matches the returned frame
+    man_disk = spark.read.parquet(out + "/_cell_manifest").collect()
+    assert sorted(map(tuple, man_disk)) == sorted(map(tuple, rows))
