@@ -82,6 +82,7 @@ HEADLINE_QUERIES = [
     "shard_plan",
     "tfidf_topterms",
     "tier_extract",
+    "incremental_dedup",
 ]
 
 

@@ -38,6 +38,7 @@ _GATE_PRIORITY = [
     "shard_plan",
     "tfidf_topterms",
     "tier_extract",
+    "incremental_dedup",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

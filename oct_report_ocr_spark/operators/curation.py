@@ -889,6 +889,58 @@ SELECT doc_id, rank, term, tf, df, score FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: the infinite-crawl shape — each
+# new crawl batch dedups against the ACCUMULATED fingerprint index of
+# everything already kept, not against itself alone. The batch-mode
+# companion to streaming/stream_extract.dedup_stream.
+# --------------------------------------------------------------------------
+
+
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """New-batch survivors after dedup against the prior snapshot.
+    Prior snapshot = doc_id % 10 < 8 (the 80% already ingested); new
+    batch = the rest. A new doc survives iff its normalized-content
+    fingerprint (same ``_NORM`` as ``dedup_normalized``) is absent
+    from the snapshot index; within the batch, lowest doc_id wins.
+    Emits (content_key, survivor_id, n_new).
+
+    Scale posture: the fingerprint index is what a production pipeline
+    PERSISTS between crawls — here both sides derive from the one
+    documents table, the pmod split evaluated in each scan's filter
+    stage (pmod is not a parquet-pushable predicate). LEFT ANTI
+    hash join on the 16-byte key, then the within-batch groupBy runs on
+    the SAME key, so Catalyst reuses the anti-join's hash partitioning:
+    exactly one exchange per side, none after. At 10¹² docs you bucket
+    the stored index by content_key and the new batch's shuffle is the
+    only data movement per crawl."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select("doc_id", F.md5(_NORM(F.col("text"))).alias("content_key"))
+    index = keyed.filter(F.col("doc_id") % 10 < 8).select("content_key")
+    fresh = keyed.filter(F.col("doc_id") % 10 >= 8)
+    return (
+        fresh.join(index, "content_key", "left_anti")
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_new"),
+        )
+    )
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH keyed AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS content_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT content_key, MIN(doc_id) AS survivor_id, COUNT(*) AS n_new
+FROM keyed
+WHERE doc_id % 10 >= 8
+  AND content_key NOT IN (SELECT content_key FROM keyed WHERE doc_id % 10 < 8)
+GROUP BY content_key
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -905,4 +957,5 @@ QUERIES: dict = {
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "tier_extract": (q_tier_extract, SQL_TIER_EXTRACT),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
 }
