@@ -411,12 +411,14 @@ GROUP BY para_md5 HAVING COUNT(*) >= 2
 # --------------------------------------------------------------------------
 
 
-def _tier_per_doc(spark: SparkSession, sf: str) -> DataFrame:
-    """Shared per-doc tier signals + label (map-only, zero shuffles):
-    the single source of the tier rule for BOTH the per-doc extraction
-    (``tier_extract``) and the per-tier rollup (``quality_tiers``), so
-    the two can never drift."""
-    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+def tier_label(docs: DataFrame) -> DataFrame:
+    """Apply the tier rule to ANY documents frame (batch or streaming —
+    the expressions are stateless map-only, so the identical labeling
+    runs unchanged over readStream micro-batches; pytest proves
+    batch/stream label equality). The single source of the tier rule
+    for ``tier_extract``, ``quality_tiers``, and the streaming path, so
+    none can drift."""
+    d = docs.filter(F.col("n_chars") > 0)
     d = d.select("doc_id", "lang", _toks().alias("toks"))
     toks = F.col("toks")
     n_words = F.size(toks)
@@ -435,6 +437,10 @@ def _tier_per_doc(spark: SparkSession, sf: str) -> DataFrame:
         sum_len.cast("bigint").alias("sum_len"),
         has_stop.alias("has_stop"),
     )
+
+
+def _tier_per_doc(spark: SparkSession, sf: str) -> DataFrame:
+    return tier_label(load(spark, sf, "documents"))
 
 
 def q_tier_extract(spark: SparkSession, sf: str) -> DataFrame:

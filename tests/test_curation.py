@@ -282,3 +282,41 @@ def test_quantile_sketch_contract(spark):
         assert r.exact_p50 == lerp_quantile(vals, 0.5)
         assert r.exact_p90 == lerp_quantile(vals, 0.9)
         assert r.p50_within_5pct and r.p90_within_5pct
+
+
+def test_tier_label_streaming_matches_batch(spark, tmp_path):
+    """The tier rule is stateless map-only, so the IDENTICAL labeling
+    must come out of a Structured Streaming availableNow run over the
+    same documents — the property that lets tier extraction run on the
+    live crawl instead of waiting for snapshot batches."""
+    import shutil
+
+    from oct_report_ocr_spark.operators.curation import q_tier_extract, tier_label
+
+    sf_dir = "/root/testdata/sf0.001"
+    in_dir = tmp_path / "docs_stream"
+    in_dir.mkdir()
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", str(in_dir / "documents.parquet")
+    )
+    batch = {
+        (r.doc_id, r.lang, r.tier, r.n_words, r.has_stop)
+        for r in q_tier_extract(spark, sf_dir).collect()
+    }
+    docs = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).parquet(str(in_dir))
+    labeled = tier_label(docs).select("doc_id", "lang", "tier", "n_words", "has_stop")
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName("tiers_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM tiers_stream").collect()
+    }
+    assert got == batch and len(got) > 0
