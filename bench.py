@@ -83,6 +83,7 @@ HEADLINE_QUERIES = [
     "tfidf_topterms",
     "tier_extract",
     "incremental_dedup",
+    "ann_ivf_multiprobe",
 ]
 
 

@@ -39,6 +39,7 @@ _GATE_PRIORITY = [
     "tfidf_topterms",
     "tier_extract",
     "incremental_dedup",
+    "ann_ivf_multiprobe",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

@@ -298,6 +298,88 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 """
 
 
+IVF_NPROBE = 2
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF query path with multi-probe (nprobe=2): the query searches
+    its TWO nearest centroid cells instead of one — the standard
+    recall/latency knob between nprobe=1 (``ann_ivf_probe``) and brute
+    force. Same plan skeleton: the query's cell-id list is a 2-row
+    broadcast onto the corpus assignment (equi-join on centroid_id),
+    then a cell-local top-k; per-query work is O(nprobe·N/K), and
+    raising nprobe never adds an exchange — only candidate rows."""
+    assigned = q_ann_ivf_assign(spark, sf)
+    e = load(spark, sf, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cents = vecs.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    from pyspark.sql import Window
+
+    qscored = (
+        cents.crossJoin(F.broadcast(qv))
+        .select(
+            "centroid_id",
+            F.round(_cos(F.col("cv"), F.col("qv")), 6).alias("qcos"),
+        )
+    )
+    wq = Window.orderBy(F.col("qcos").desc(), F.col("centroid_id"))
+    qcells = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("centroid_id").alias("qc"))
+    )
+    cell = assigned.join(
+        F.broadcast(qcells), assigned.centroid_id == F.col("qc")
+    ).filter(F.col("vec_id") != 0)
+    scored = (
+        cell.select("vec_id")
+        .join(vecs, ["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(_cos(F.col("v"), F.col("qv")), 6).alias("cos_sim"))
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+SQL_ANN_IVF_MULTIPROBE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id BETWEEN 1 AND {IVF_K}),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         ROUND({_DOT_SQL.format(a="v.v", b="c.cv")}
+               / ({_NORM_SQL.format(v="v.v")} * {_NORM_SQL.format(v="c.cv")}), 6) AS cos
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+), assigned AS (
+  SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+), qvec AS (
+  SELECT v AS qv FROM v WHERE vec_id = 0
+), qscored AS (
+  SELECT c.centroid_id,
+         ROUND({_DOT_SQL.format(a="c.cv", b="q.qv")}
+               / ({_NORM_SQL.format(v="c.cv")} * {_NORM_SQL.format(v="q.qv")}), 6) AS qcos
+  FROM c CROSS JOIN qvec q
+), qcells AS (
+  SELECT centroid_id AS qc
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY qcos DESC, centroid_id) AS rn FROM qscored)
+  WHERE rn <= {IVF_NPROBE}
+)
+SELECT a.vec_id,
+       ROUND({_DOT_SQL.format(a="v.v", b="q.qv")}
+             / ({_NORM_SQL.format(v="v.v")} * {_NORM_SQL.format(v="q.qv")}), 6) AS cos_sim
+FROM assigned a
+JOIN qcells ON a.centroid_id = qcells.qc
+JOIN v ON v.vec_id = a.vec_id
+CROSS JOIN qvec q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+
 def q_embedding_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup as ONE composed scale-path plan (VERDICT r01
     item 4), mirroring q_dedup_pipeline's LSH-then-verify dataflow:
@@ -501,6 +583,7 @@ def kmeans_train(
 QUERIES: dict = {
     "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
+    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, SQL_ANN_IVF_MULTIPROBE),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),
