@@ -320,3 +320,28 @@ def test_tier_label_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tiers_stream").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_incremental_dedup_invariants(spark):
+    """Survivor keys must be disjoint from the snapshot index, cover
+    every unseen new-batch fingerprint exactly once, and pick the
+    lowest new doc_id per key."""
+    from oct_report_ocr_spark.operators.curation import _NORM, q_incremental_dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", F.md5(_NORM(F.col("text"))).alias("k"))
+    )
+    index = {r.k for r in d.filter(F.col("doc_id") % 10 < 8).collect()}
+    fresh = [(r.doc_id, r.k) for r in d.filter(F.col("doc_id") % 10 >= 8).collect()]
+    got = {r.content_key: (r.survivor_id, r.n_new) for r in q_incremental_dedup(spark, sf_dir).collect()}
+    assert set(got) & index == set()
+    expect = {}
+    for doc_id, k in fresh:
+        if k in index:
+            continue
+        sid, n = expect.get(k, (doc_id, 0))
+        expect[k] = (min(sid, doc_id), n + 1)
+    assert got == expect and len(got) > 0

@@ -70,3 +70,17 @@ def test_kmeans_step_matches_numpy(spark):
         for pos in range(similarity.DIM)
     )
     assert moved
+
+
+def test_ivf_multiprobe_recall_never_below_single_probe(spark):
+    """nprobe=2 searches a superset of nprobe=1's candidates, so its
+    top-10 worst (lowest) cosine can never be below nprobe=1's, and its
+    best is identical."""
+    p1 = [r.cos_sim for r in similarity.q_ann_ivf_probe(spark, SF_SMOKE).collect()]
+    p2 = [
+        r.cos_sim
+        for r in similarity.q_ann_ivf_multiprobe(spark, SF_SMOKE).collect()
+    ]
+    assert len(p2) == len(p1) == 10
+    assert p2[0] == p1[0]
+    assert min(p2) >= min(p1)
