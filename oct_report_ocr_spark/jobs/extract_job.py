@@ -70,8 +70,9 @@ def extract_df(
       roughly proportional to bytes. At 10¹² docs the payload shuffle
       is the single largest avoidable cost; measured on this host the
       mode is both faster absolute and better-scaling (BENCH/
-      BASELINE.md r02: 0.848 vs 0.612 scaling efficiency, ~1.6x
-      throughput at 32 cores) — the default is the structurally superior plan for the
+      BASELINE.md run G: 0.82 vs 0.573 scaling efficiency, ~1.4x
+      throughput at 32 cores; round-2 run A recorded 0.848 vs 0.612) —
+      the default is the structurally superior plan for the
       input_hint's own table shape, not a benchmark special.
     - ``"salted"`` (the hostile-layout posture): one explicit
       repartition on ``pmod(xxhash64(url), buckets)`` with a separate
