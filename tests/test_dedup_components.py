@@ -129,3 +129,15 @@ def test_components_edge_endpoints_agree(spark):
     )
     for p in pairs:
         assert label[p.doc_a] == label[p.doc_b]
+
+
+def test_components_empty_pair_set(spark):
+    """An empty pair graph must converge immediately to an empty result
+    (the no-duplicates crawl window), not hang or raise on the None
+    convergence metric."""
+    from oct_report_ocr_spark.operators.dedup import components_from_pairs
+
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    out = components_from_pairs(spark, empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "component_id", "n_members"]
