@@ -201,3 +201,25 @@ def write_tiered_corpus(df: DataFrame, out_path: str) -> DataFrame:
     )
     mdf.coalesce(1).write.mode("overwrite").parquet(out_path + "/_cell_manifest")
     return mdf
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, key: str, n_buckets: int = 16
+) -> None:
+    """Bucketed + bucket-sorted managed table — the layout that makes
+    REPEATED joins on ``key`` shuffle-free: both sides of a join
+    between tables bucketed on the same key with the same bucket count
+    are already hash-co-located, so Catalyst plans the join with ZERO
+    Exchange nodes (pytest-gated). This is the 100 TB posture for the
+    joins a pipeline repeats every cycle (fingerprint index ⋈ new
+    batch, assignment ⋈ centroid stats): pay the partitioning once at
+    write time instead of a full shuffle per join. In production the
+    same call targets an Iceberg/Hive catalog; here it writes the
+    local spark-warehouse."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

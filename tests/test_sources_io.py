@@ -213,3 +213,31 @@ def test_write_tiered_corpus(spark, tmp_path):
     # manifest on disk matches the returned frame
     man_disk = spark.read.parquet(out + "/_cell_manifest").collect()
     assert sorted(map(tuple, man_disk)) == sorted(map(tuple, rows))
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The co-located-join contract: joining two tables bucketed on the
+    same key/count must plan with ZERO Exchange nodes (and no
+    broadcast) — the shuffle was paid once at write time."""
+    from oct_report_ocr_spark.plans.report import plan_checks
+
+    corpus = ensure_corpus(CACHE, 0.001)
+    docs = spark.read.parquet(corpus).select(
+        F.xxhash64("url").alias("doc_id"), "lang"
+    )
+    stats = docs.select("doc_id", F.length("lang").alias("n"))
+    # disable broadcast so the test proves co-location, not broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        src_io.write_bucketed_table(docs, "t_docs_b", "doc_id", 8)
+        src_io.write_bucketed_table(stats, "t_stats_b", "doc_id", 8)
+        joined = spark.table("t_docs_b").join(spark.table("t_stats_b"), "doc_id")
+        c = plan_checks(joined)
+        assert c["n_exchanges"] == 0, c
+        assert c["n_broadcast_joins"] == 0, c
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_stats_b")
