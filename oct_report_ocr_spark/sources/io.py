@@ -223,3 +223,73 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+WET_RECORD_SEP = "\nWARC/1.0\n"
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET-style (Common-Crawl text-extract interchange) record source,
+    parsed entirely with native expressions — no Python in the plan.
+    A WET file is a stream of records, each ``WARC/1.0`` + header
+    lines + blank line + plain-text body. The reader splits the file
+    into records via the text source's custom ``lineSep`` (so record
+    boundaries, not lines, are the scan unit — one record per row no
+    matter how the cluster splits the file is parquet-grade
+    parallelism on a plain-text format), then pulls the two headers a
+    pipeline keys on (url, date) with anchored regexes and takes the
+    body after the first blank line. Records without a Target-URI
+    (the warcinfo preamble) are dropped.
+
+    Returns (url, warc_ts, text). At 100 TB the same plan runs over
+    gzip-member-per-record WET exactly as Common Crawl ships it —
+    the lineSep split replaces the gzip-member framing."""
+    recs = spark.read.option("lineSep", WET_RECORD_SEP).text(path)
+    url = F.regexp_extract(F.col("value"), r"(?m)^WARC-Target-URI:\s*(\S+)", 1)
+    ts = F.regexp_extract(F.col("value"), r"(?m)^WARC-Date:\s*(\S+)", 1)
+    body_pos = F.instr(F.col("value"), "\n\n")
+    body = F.when(
+        body_pos > 0, F.substring(F.col("value"), body_pos + 2, 2**30)
+    ).otherwise(F.lit(""))
+    return (
+        recs.select(
+            url.alias("url"),
+            F.to_timestamp(ts).alias("warc_ts"),
+            body.alias("text"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
+def write_wet(df: DataFrame, path: str) -> None:
+    """WET-style sink for (url, warc_ts, text) frames — round-trip
+    partner of ``read_wet`` (the export format a downstream consumer
+    outside the lakehouse reads). One text file per partition; the
+    record header is assembled with native expressions."""
+    rec = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit("\nWARC-Date: "),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\n\n"),
+        F.col("text"),
+    )
+    df.select(rec.alias("value")).write.mode("overwrite").option(
+        "lineSep", "\n"
+    ).text(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with a MANDATORY explicit schema: at corpus
+    scale ``inferSchema`` is a full extra pass over the data and a
+    schema-drift hazard (a single outlier record retypes a column for
+    the whole read), so this reader refuses to exist without one.
+    Corrupt lines are preserved, not dropped: PERMISSIVE mode routes
+    them to ``_corrupt_record`` so the quarantine contract matches the
+    extraction job's per-doc fault isolation."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -241,3 +241,56 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_stats_b")
+
+
+def test_wet_roundtrip_and_parse(spark, tmp_path):
+    """read_wet must parse a hand-written WET stream (warcinfo preamble
+    dropped, multi-line bodies intact) and invert write_wet exactly."""
+    wet = (
+        "WARC/1.0\n"
+        "WARC-Type: warcinfo\n"
+        "\n"
+        "software: test\n"
+        "\nWARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: https://example.com/a\n"
+        "WARC-Date: 2024-03-01T12:00:00Z\n"
+        "\n"
+        "first doc line one\nline two\n"
+        "\nWARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: https://example.com/b\n"
+        "WARC-Date: 2024-03-02T00:30:00Z\n"
+        "\n"
+        "second doc body\n"
+    )
+    src = tmp_path / "in.wet"
+    src.write_text(wet)
+    df = src_io.read_wet(spark, str(src))
+    rows = {r.url: r for r in df.collect()}
+    assert set(rows) == {"https://example.com/a", "https://example.com/b"}
+    assert rows["https://example.com/a"].text.startswith("first doc line one\nline two")
+    assert str(rows["https://example.com/a"].warc_ts).startswith("2024-03-01 12:00:00")
+    # round-trip through the sink
+    out = tmp_path / "out_wet"
+    src_io.write_wet(df, str(out))
+    back = {r.url: r for r in src_io.read_wet(spark, str(out)).collect()}
+    assert set(back) == set(rows)
+    for u in rows:
+        assert back[u].text.rstrip("\n") == rows[u].text.rstrip("\n")
+        assert back[u].warc_ts == rows[u].warc_ts
+
+
+def test_read_jsonl_schema_and_quarantine(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "welt", "lang": "de"}\n'
+        "not json at all\n"
+    )
+    df = src_io.read_jsonl(spark, str(p), "doc_id bigint, text string, lang string")
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.doc_id for r in good} == {1, 2}
+    assert len(bad) == 1 and bad[0]._corrupt_record == "not json at all"
