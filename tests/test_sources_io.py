@@ -294,3 +294,28 @@ def test_read_jsonl_schema_and_quarantine(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {r.doc_id for r in good} == {1, 2}
     assert len(bad) == 1 and bad[0]._corrupt_record == "not json at all"
+
+
+def test_read_wet_gzip(spark, tmp_path):
+    """Spark's text source decompresses .gz transparently, so read_wet
+    handles gzipped WET unchanged. (A single-member .gz is not
+    splittable — one task per file; Common Crawl ships member-per-record
+    gzip precisely so this isn't a ceiling, and the parse itself is
+    format-identical.)"""
+    import gzip
+
+    wet = (
+        "WARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: https://example.com/z\n"
+        "WARC-Date: 2024-05-05T05:05:05Z\n"
+        "\n"
+        "gzipped body\n"
+    )
+    p = tmp_path / "in.wet.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(wet)
+    rows = src_io.read_wet(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].url == "https://example.com/z"
+    assert rows[0].text.rstrip("\n") == "gzipped body"
