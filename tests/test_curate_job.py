@@ -1,0 +1,55 @@
+"""End-to-end curation job: ingest → normalized dedup → tier label →
+tiered + sharded layouts, metrics consistent across all three."""
+
+import os
+
+from oct_report_ocr_spark.jobs.curate_job import run
+
+
+def test_curate_job_parquet_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    stats = run(spark, "/root/testdata/sf0.001/documents.parquet", out)
+    assert stats["rows_in"] > 0
+    assert 0 < stats["rows_out"] <= stats["rows_in"]
+    assert stats["removed"] == stats["rows_in"] - stats["rows_out"]
+    # the three outputs agree with each other
+    assert sum(stats["shards"].values()) == stats["rows_out"]
+    assert sum(stats["tiers"].values()) == stats["rows_out"]
+    back = spark.read.parquet(out + "/tiered")
+    assert back.count() == stats["rows_out"]
+    # survivors are unique per normalized fingerprint: no doc_id dups
+    assert back.select("doc_id").distinct().count() == stats["rows_out"]
+    for cell in stats["tiers"]:
+        tier, lang = cell.split("/")
+        assert os.path.isdir(os.path.join(out, "tiered", f"tier={tier}", f"lang={lang}"))
+
+
+def test_curate_job_wet_ingest(spark, tmp_path):
+    wet = (
+        "WARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: https://example.com/a\n"
+        "WARC-Date: 2024-03-01T12:00:00Z\n"
+        "\n" + ("the quick brown fox jumps over the lazy dog " * 20) +
+        "\nWARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: https://example.com/b\n"
+        "WARC-Date: 2024-03-02T00:30:00Z\n"
+        "\n" + ("the quick brown fox jumps over the lazy dog " * 20) +
+        "\nWARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: https://example.com/c\n"
+        "WARC-Date: 2024-03-03T00:30:00Z\n"
+        "\nshort text\n"
+    )
+    src = tmp_path / "crawl.wet"
+    src.write_text(wet)
+    out = str(tmp_path / "curated_wet")
+    stats = run(spark, str(src), out, n_shards=2, input_format="wet")
+    assert stats["rows_in"] == 3
+    # a and b are near-identical bodies -> normalized dedup collapses them
+    assert stats["rows_out"] == 2
+    assert stats["removed"] == 1
+    # 60+ stopword-bearing words -> high tier; "short text" -> low
+    assert any(k.startswith("high/") for k in stats["tiers"])
+    assert any(k.startswith("low/") for k in stats["tiers"])
