@@ -59,13 +59,21 @@ def run(
     n_in = docs.count()
 
     # normalized dedup: lowest doc_id per fingerprint survives. The
-    # groupBy and the survivor join share the key, so the exchange is
-    # reused; no window over the corpus.
+    # join key is content_key ALONE (survivor-id match is a post-join
+    # filter) so it is exactly the aggregate's hash partitioning — at
+    # scale the aggregated side's exchange is reused and only the keyed
+    # side shuffles; a composite (content_key, doc_id) join key would
+    # force a fresh shuffle of both sides. At small sf AQE broadcasts
+    # the survivor table instead (1 exchange total, measured).
     keyed = docs.withColumn("content_key", F.md5(_NORM(F.col("text"))))
     survivors = keyed.groupBy("content_key").agg(
-        F.min("doc_id").alias("doc_id")
+        F.min("doc_id").alias("survivor_id")
     )
-    deduped = keyed.join(survivors, ["content_key", "doc_id"]).drop("content_key")
+    deduped = (
+        keyed.join(survivors, "content_key")
+        .filter(F.col("doc_id") == F.col("survivor_id"))
+        .drop("content_key", "survivor_id")
+    )
 
     labeled = tier_label(deduped)
     tier_manifest = write_tiered_corpus(labeled, output_path + "/tiered")
