@@ -84,6 +84,7 @@ HEADLINE_QUERIES = [
     "tier_extract",
     "incremental_dedup",
     "ann_ivf_multiprobe",
+    "minhash_estimate_check",
 ]
 
 

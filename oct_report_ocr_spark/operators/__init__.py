@@ -40,6 +40,7 @@ _GATE_PRIORITY = [
     "tier_extract",
     "incremental_dedup",
     "ann_ivf_multiprobe",
+    "minhash_estimate_check",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

@@ -462,6 +462,80 @@ FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id
 """
 
 
+def q_minhash_estimate_check(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash sketch-accuracy contract — the third of the sketch
+    contracts (HLL: ``approx_distinct_check``, quantiles:
+    ``quantile_sketch_check``): per adjacent doc pair, the Jaccard
+    ESTIMATE from the 8-function signature (fraction of matching
+    minima — E[est] = J by the MinHash property) next to the EXACT
+    trigram Jaccard, plus the absolute error. On the word-soup corpus
+    exact Jaccard is near 0, so the contract pins the estimator's
+    behavior where LSH banding operates. est = n_match/8 and the IEEE
+    subtraction are exact/correctly-rounded — bit-identical engines.
+
+    Scale posture: signatures are map-side; both the pair join and the
+    exact-verify join are merge joins on doc_id (never broadcast — the
+    gram corpus is unbounded); at 10¹² docs the contract runs on a
+    deterministic doc_id-slice sample instead of every pair, same
+    plan."""
+    sig = q_minhash_signatures(spark, sf)
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(b.hint("merge"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+    n_match = None
+    for j in range(N_HASHES):
+        term = F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    est = (n_match.cast("double") / F.lit(float(N_HASHES))).alias("est_jaccard")
+    estdf = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        est,
+    )
+    exact = q_ngram_jaccard_adjacent(spark, sf)
+    return estdf.join(exact.hint("merge"), ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        F.col("jaccard").alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+def _minhash_estimate_sql() -> str:
+    match_sum = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(N_HASHES)
+    )
+    return (
+        _minhash_sql_core()
+        + f""",
+est AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({match_sum} AS DOUBLE) / {N_HASHES} AS est_jaccard
+  FROM mh a JOIN mh b ON a.doc_id + 1 = b.doc_id
+), toksx AS (
+  SELECT doc_id, {_TOKENS_SQL} AS ws
+  FROM documents WHERE n_chars > 0
+), gx AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, len(ws) - {SHINGLE - 1}),
+                        i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+  FROM toksx WHERE len(ws) >= {SHINGLE}
+), exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+  FROM gx a JOIN gx b ON a.doc_id + 1 = b.doc_id
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard AS exact_jaccard,
+       ROUND(ABS(e.est_jaccard - x.jaccard), 6) AS abs_err
+FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+"""
+    )
+
+
+SQL_MINHASH_ESTIMATE_CHECK = _minhash_estimate_sql()
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash over word tokens: bit b is the sign of the sum of
     ±1 votes, where token t votes +1 on bit b iff hex digit b of md5(t)
@@ -859,6 +933,7 @@ QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_pipeline": (q_dedup_pipeline, _dedup_pipeline_sql()),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_estimate_check": (q_minhash_estimate_check, SQL_MINHASH_ESTIMATE_CHECK),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "minhash_lsh_pairs_capped": (q_minhash_lsh_pairs_capped, SQL_MINHASH_LSH_PAIRS_CAPPED),
     "lsh_heavy_buckets": (q_lsh_heavy_buckets, SQL_LSH_HEAVY_BUCKETS),
