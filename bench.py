@@ -85,6 +85,9 @@ HEADLINE_QUERIES = [
     "incremental_dedup",
     "ann_ivf_multiprobe",
     "minhash_estimate_check",
+    "host_rollup",
+    "url_canonical_dedup",
+    "host_blocklist_filter",
 ]
 
 

@@ -41,6 +41,9 @@ _GATE_PRIORITY = [
     "incremental_dedup",
     "ann_ivf_multiprobe",
     "minhash_estimate_check",
+    "host_rollup",
+    "url_canonical_dedup",
+    "host_blocklist_filter",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

@@ -947,6 +947,229 @@ GROUP BY content_key
 """
 
 
+# --------------------------------------------------------------------------
+# Host-level hygiene (the FineWeb/CCNet domain-stats pass): crawl
+# pipelines filter and re-weight by HOST before they ever look at
+# individual documents — a per-host stats table is the first artifact a
+# 100 TB curation run materializes. Hosts are planted deterministically
+# from (source, doc_id) so the rollup has real multi-doc cells at
+# oracle scale.
+# --------------------------------------------------------------------------
+
+def _host():
+    # a Column factory, not a module constant: building Columns needs an
+    # active session, and operator modules must import session-free
+    return F.concat_ws(
+        "", F.col("source"), F.lit("-"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+
+
+_HOST_SQL = "source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'"
+
+
+def _path():
+    return F.concat_ws(
+        "", F.lit("/docs/"), F.col("lang"), F.lit("/"), F.col("doc_id").cast("string")
+    )
+
+
+_PATH_SQL = "'/docs/' || lang || '/' || CAST(doc_id AS VARCHAR)"
+
+
+def q_host_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host corpus stats + crawl-policy flag: doc count, distinct
+    langs, exact char mass, mean length (one correctly-rounded IEEE
+    division of exact BIGINT sums — bit-identical engines), and the
+    short-doc fraction that drives host-level blocking (the
+    domain-quality filter FineWeb applies before any per-doc rule).
+
+    Scale posture: host derivation is map-only codegen; the rollup is
+    ONE hash aggregate on host with map-side partial combine. The
+    single count(DISTINCT lang) keeps two-phase aggregation (no Expand
+    — Spark expands only for multiple distinct columns) and its state
+    is bounded by lang arity (5). At 10¹² docs this is the same plan:
+    one shuffle carrying per-host partials, output rows = |hosts|."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    hosted = d.select(
+        _host().alias("host"), "lang", "n_chars",
+        (F.col("n_chars") < 200).cast("long").alias("is_short"),
+    )
+    agg = hosted.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("is_short").alias("n_short"),
+    )
+    mean = agg["total_chars"].cast("double") / agg["n_docs"].cast("double")
+    short_frac = agg["n_short"].cast("double") / agg["n_docs"].cast("double")
+    return agg.select(
+        "host", "n_docs", "n_langs", "total_chars",
+        mean.alias("mean_chars"),
+        short_frac.alias("short_frac"),
+        (short_frac > 0.5).alias("host_blocked"),
+    )
+
+
+SQL_HOST_ROLLUP = f"""
+WITH hosted AS (
+  SELECT {_HOST_SQL} AS host, lang, n_chars,
+         CAST(n_chars < 200 AS BIGINT) AS is_short
+  FROM documents WHERE n_chars > 0
+), agg AS (
+  SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(is_short) AS BIGINT) AS n_short
+  FROM hosted GROUP BY host
+)
+SELECT host, n_docs, n_langs, total_chars,
+       CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+       CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_frac,
+       (CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE)) > 0.5 AS host_blocked
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup — the recrawl-hygiene companion to
+# latest_capture: the same page reached via tracking-parameter /
+# fragment / case-variant URLs collapses to one canonical key
+# (lowercased scheme+host, query+fragment stripped, trailing slash
+# trimmed). CCNet/Common-Crawl dedup by canonical url BEFORE any
+# content hash — it is the cheapest dedup key the pipeline has.
+# --------------------------------------------------------------------------
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Plant a tracking-variant capture for every doc_id % 5 == 1
+    (uppercased scheme+host + ?utm_... + #fragment + trailing slash),
+    canonicalize, and dedup by the canonical url: n_captures and the
+    lexicographically-lowest raw url as survivor. Canonicalization
+    lowers ONLY the scheme+host group (paths are case-significant per
+    RFC 3986), strips everything from the first ``?``/``#``, and trims
+    trailing slashes — all single-pass native regexps with identical
+    Java/RE2 semantics.
+
+    Scale posture: the variant branch is a map-only union (no second
+    scan at production — recaptures arrive as rows); canonicalize is
+    map-only codegen; the dedup is ONE hash aggregate on the canonical
+    key, the same single-shuffle shape as dedup_exact."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    base = d.select(
+        "doc_id",
+        F.concat_ws(
+            "", F.lit("https://"), _host(), _path()
+        ).alias("raw_url"),
+    )
+    variant = d.filter(F.col("doc_id") % 5 == 1).select(
+        "doc_id",
+        F.concat_ws(
+            "", F.lit("HTTPS://"), F.upper(_host()), _path(),
+            F.lit("/?utm_source=feed&utm_medium=rss#top"),
+        ).alias("raw_url"),
+    )
+    raw = base.unionByName(variant)
+    nofrag = F.regexp_replace(F.col("raw_url"), r"[?#].*$", "")
+    host = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z]+://[^/]+)", 1))
+    path = F.regexp_replace(F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/]+(/.*)?$", 1), r"/+$", "")
+    canon = F.concat_ws("", host, path)
+    return (
+        raw.select(canon.alias("canon_url"), "raw_url", "doc_id")
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_captures"),
+            F.min("raw_url").alias("survivor_url"),
+            F.min("doc_id").alias("doc_id"),
+        )
+    )
+
+
+SQL_URL_CANONICAL_DEDUP = f"""
+WITH raw AS (
+  SELECT doc_id, 'https://' || {_HOST_SQL} || {_PATH_SQL} AS raw_url
+  FROM documents WHERE n_chars > 0
+  UNION ALL
+  SELECT doc_id,
+         'HTTPS://' || upper({_HOST_SQL}) || {_PATH_SQL}
+           || '/?utm_source=feed&utm_medium=rss#top' AS raw_url
+  FROM documents WHERE n_chars > 0 AND doc_id % 5 = 1
+), canon AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(regexp_replace(raw_url, '[?#].*$', ''),
+                              '^([A-Za-z]+://[^/]+)', 1))
+         || regexp_replace(
+              regexp_extract(regexp_replace(raw_url, '[?#].*$', ''),
+                             '^[A-Za-z]+://[^/]+(/.*)?$', 1),
+              '/+$', '') AS canon_url
+  FROM raw
+)
+SELECT canon_url, COUNT(*) AS n_captures,
+       MIN(raw_url) AS survivor_url, MIN(doc_id) AS doc_id
+FROM canon GROUP BY canon_url
+"""
+
+
+# --------------------------------------------------------------------------
+# Host+path-prefix blocklist (the robots/deny-list shape): a tiny
+# constant rule table filters an unbounded crawl. Equality on host is
+# the join key (broadcast hash join), the path-prefix match rides as
+# the residual predicate — never a nested-loop scan of the corpus.
+# --------------------------------------------------------------------------
+
+_BLOCK_RULES = [
+    ("src0-0.example.com", "/docs/"),
+    ("src1-1.example.com", "/docs/en"),
+    ("src2-2.example.com", "/docs/"),
+    ("src3-3.example.com", "/docs/zh"),
+    ("src4-4.example.com", "/docs/"),
+]
+
+
+def q_host_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Docs blocked per deny rule: the rule list (host, path_prefix)
+    broadcast-hash-joins the corpus on host equality with
+    startswith(path, prefix) as the residual; emits per-rule block
+    counts + lowest blocked doc_id. Rules with zero matching rows at a
+    given sf drop out identically in both engines.
+
+    Scale posture: the rule table is O(KB) and broadcast; the corpus
+    side stays map-local (no shuffle for the join), and the per-rule
+    rollup aggregates |rules| groups — partial state per task is
+    bounded by the rule count. This is the robots.txt/deny-list plan
+    at 10¹² docs: one broadcast, zero corpus exchanges before the
+    final tiny aggregate."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    pages = d.select("doc_id", _host().alias("host"), _path().alias("path"))
+    rules = spark.createDataFrame(_BLOCK_RULES, "rule_host string, path_prefix string")
+    hit = pages.join(
+        F.broadcast(rules),
+        (F.col("host") == F.col("rule_host"))
+        & F.col("path").startswith(F.col("path_prefix")),
+    )
+    return hit.groupBy("rule_host", "path_prefix").agg(
+        F.count(F.lit(1)).alias("n_blocked"),
+        F.min("doc_id").alias("first_blocked_id"),
+    )
+
+
+def _blocklist_sql() -> str:
+    values = ", ".join(f"('{h}', '{p}')" for h, p in _BLOCK_RULES)
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {_HOST_SQL} AS host, {_PATH_SQL} AS path
+  FROM documents WHERE n_chars > 0
+), rules(rule_host, path_prefix) AS (VALUES {values})
+SELECT rule_host, path_prefix, COUNT(*) AS n_blocked,
+       MIN(doc_id) AS first_blocked_id
+FROM pages JOIN rules
+  ON pages.host = rules.rule_host AND starts_with(pages.path, rules.path_prefix)
+GROUP BY rule_host, path_prefix
+"""
+
+
+SQL_HOST_BLOCKLIST_FILTER = _blocklist_sql()
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -964,4 +1187,7 @@ QUERIES: dict = {
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "tier_extract": (q_tier_extract, SQL_TIER_EXTRACT),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),
+    "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
+    "host_blocklist_filter": (q_host_blocklist_filter, SQL_HOST_BLOCKLIST_FILTER),
 }

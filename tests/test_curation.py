@@ -345,3 +345,71 @@ def test_incremental_dedup_invariants(spark):
         sid, n = expect.get(k, (doc_id, 0))
         expect[k] = (min(sid, doc_id), n + 1)
     assert got == expect and len(got) > 0
+
+
+def test_host_rollup_invariants(spark):
+    """Per-host masses must re-aggregate to the corpus totals, mean and
+    short_frac must be the exact rational of the integer columns, and
+    the planted host space (source × doc_id%7) must have multi-doc
+    cells so the rollup is non-vacuous."""
+    from oct_report_ocr_spark.operators.curation import q_host_rollup
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q_host_rollup(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("n_chars") > 0)
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert sum(r.total_chars for r in rows) == d.agg(F.sum("n_chars")).first()[0]
+    assert max(r.n_docs for r in rows) >= 2
+    for r in rows:
+        assert r.mean_chars == r.total_chars / r.n_docs
+        assert r.host_blocked == ((r.short_frac) > 0.5)
+        assert 1 <= r.n_langs <= 5
+
+
+def test_url_canonical_dedup_collapses_variants(spark):
+    """Every doc_id % 5 == 1 doc must collapse its tracking-variant
+    capture (n_captures == 2, survivor = byte-wise min raw url — the
+    UPPERCASE variant, since 'H' < 'h' in ASCII); all others stay
+    singletons; canonical urls carry no query/fragment/trailing slash
+    and a lowercased scheme+host."""
+    from oct_report_ocr_spark.operators.curation import q_url_canonical_dedup
+
+    rows = q_url_canonical_dedup(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r.n_captures == (2 if r.doc_id % 5 == 1 else 1)
+        assert "?" not in r.canon_url and "#" not in r.canon_url
+        assert not r.canon_url.endswith("/")
+        assert r.canon_url.startswith("https://")
+        if r.n_captures == 2:
+            assert r.survivor_url.startswith("HTTPS://")  # 'H' < 'h'
+        else:
+            assert r.survivor_url.startswith("https://")
+        host = r.canon_url.split("://", 1)[1].split("/", 1)[0]
+        assert host == host.lower()
+
+
+def test_host_blocklist_prefix_semantics(spark):
+    """Blocked counts must equal a driver-side replay of the rules:
+    host equality AND path startswith — nothing more (no substring or
+    regex semantics leaking in)."""
+    from oct_report_ocr_spark.operators.curation import (
+        _BLOCK_RULES,
+        q_host_blocklist_filter,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("n_chars") > 0)
+    pages = [
+        (f"{r.source}-{r.doc_id % 7}.example.com", f"/docs/{r.lang}/{r.doc_id}", r.doc_id)
+        for r in d.select("source", "doc_id", "lang").collect()
+    ]
+    expect = {}
+    for host, prefix in _BLOCK_RULES:
+        hits = [i for h, p, i in pages if h == host and p.startswith(prefix)]
+        if hits:
+            expect[(host, prefix)] = (len(hits), min(hits))
+    got = {
+        (r.rule_host, r.path_prefix): (r.n_blocked, r.first_blocked_id)
+        for r in q_host_blocklist_filter(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
