@@ -88,6 +88,7 @@ HEADLINE_QUERIES = [
     "host_rollup",
     "url_canonical_dedup",
     "host_blocklist_filter",
+    "cms_frequency_check",
 ]
 
 

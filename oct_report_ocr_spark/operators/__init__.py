@@ -44,6 +44,7 @@ _GATE_PRIORITY = [
     "host_rollup",
     "url_canonical_dedup",
     "host_blocklist_filter",
+    "cms_frequency_check",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

@@ -948,6 +948,121 @@ GROUP BY content_key
 
 
 # --------------------------------------------------------------------------
+# Count-min-sketch frequency contract — the fourth mergeable-sketch
+# contract (HLL: approx_distinct_check, quantiles:
+# quantile_sketch_check, MinHash: minhash_estimate_check). A CMS is the
+# sketch a 100 TB pipeline actually uses for heavy-hitter token
+# tracking: D×W bounded integer cells, mergeable across partitions and
+# crawls by plain addition — here expressed as ONE hash aggregate on
+# (seed, bucket), so Spark's map-side combine IS the sketch merge.
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows (seeds)
+CMS_W = 8  # buckets per row — sized to the corpus vocab (~31 distinct
+#   word-soup tokens), so cells genuinely collide at oracle scale and the
+#   overcount column is non-vacuous; a production corpus sizes W in the
+#   tens of thousands, same plan
+CMS_PROBE_MIN = 100  # probe set: tokens at/above token_frequency's bar
+
+
+def _hex8_fold_sql(expr: str) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(expr),1,8),16,10):
+    positional hex fold, exact in DOUBLE below 2^53 (same construction
+    as shard_plan's _HEX8_SQL, parameterized on the hashed string)."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), i -> "
+        f"(instr('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)"
+        " * (16.0 ** (8 - i)))) AS BIGINT)"
+    )
+
+
+def q_cms_frequency_check(spark: SparkSession, sf: str) -> DataFrame:
+    """CMS estimate vs exact count for every heavy token (exact count
+    ≥ CMS_PROBE_MIN): est = min over the D rows of the probed cell.
+    The contract is the CMS guarantee — est_n ≥ exact_n always, with
+    the overcount exposed so collision pressure (W=8 against a
+    ~31-token vocab forces real collisions at oracle scale) is measurable, not hidden. All-integer
+    arithmetic — bit-identical engines.
+
+    Scale posture: the token stream explodes ×D map-side and collapses
+    into ONE hash aggregate whose key space is exactly D×W = 32 cells
+    — partial state per task is CONSTANT regardless of corpus size, the
+    defining property that makes a sketch worth shipping. The exact
+    side (one agg on token) exists only as the small-sf truth; at 10¹²
+    docs only the sketch runs. The probe join broadcasts the D×W-row
+    sketch; min-over-seeds groups |probes| rows."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    tok = d.select(F.explode(_toks()).alias("token"))
+
+    def bucket(seed_col, token_col):
+        h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), token_col))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(CMS_W)
+        )
+
+    seeded = tok.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("seed"),
+    )
+    sketch = (
+        seeded.select("seed", bucket(F.col("seed"), F.col("token")).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .filter(F.col("exact_n") >= CMS_PROBE_MIN)
+    )
+    probes = exact.select(
+        "token",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("seed"),
+    ).select(
+        "token", "exact_n", "seed",
+        bucket(F.col("seed"), F.col("token")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        (F.col("est_n") >= F.col("exact_n")).alias("never_underestimates"),
+    )
+
+
+_CMS_BUCKET_SQL = _hex8_fold_sql("CAST(seed AS VARCHAR) || ':' || token") + f" % {CMS_W}"
+
+SQL_CMS_FREQUENCY_CHECK = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS_SQL}) AS token FROM documents WHERE n_chars > 0
+), seeded AS (
+  SELECT token, unnest(range(0, {CMS_D})) AS seed FROM tok
+), sketch AS (
+  SELECT seed, {_CMS_BUCKET_SQL} AS bucket, COUNT(*) AS cell_n
+  FROM seeded GROUP BY 1, 2
+), exact AS (
+  SELECT token, COUNT(*) AS exact_n FROM tok
+  GROUP BY token HAVING COUNT(*) >= {CMS_PROBE_MIN}
+), probes AS (
+  SELECT token, exact_n, unnest(range(0, {CMS_D})) AS seed FROM exact
+), pb AS (
+  SELECT token, exact_n, seed, {_CMS_BUCKET_SQL} AS bucket FROM probes
+)
+SELECT pb.token, pb.exact_n, CAST(MIN(s.cell_n) AS BIGINT) AS est_n,
+       CAST(MIN(s.cell_n) - pb.exact_n AS BIGINT) AS overcount,
+       MIN(s.cell_n) >= pb.exact_n AS never_underestimates
+FROM pb JOIN sketch s ON pb.seed = s.seed AND pb.bucket = s.bucket
+GROUP BY pb.token, pb.exact_n
+"""
+
+
+# --------------------------------------------------------------------------
 # Host-level hygiene (the FineWeb/CCNet domain-stats pass): crawl
 # pipelines filter and re-weight by HOST before they ever look at
 # individual documents — a per-host stats table is the first artifact a
@@ -1187,6 +1302,7 @@ QUERIES: dict = {
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "tier_extract": (q_tier_extract, SQL_TIER_EXTRACT),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "cms_frequency_check": (q_cms_frequency_check, SQL_CMS_FREQUENCY_CHECK),
     "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
     "host_blocklist_filter": (q_host_blocklist_filter, SQL_HOST_BLOCKLIST_FILTER),

@@ -413,3 +413,49 @@ def test_host_blocklist_prefix_semantics(spark):
         for r in q_host_blocklist_filter(spark, sf_dir).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_cms_frequency_check_contract(spark):
+    """Replay the D×W sketch in pure Python (hashlib md5, same fold)
+    and assert (a) the operator's estimates equal the replay exactly,
+    (b) est >= exact for every probe (the CMS guarantee), (c) at least
+    one probe shows a real collision so the contract is non-vacuous."""
+    import hashlib
+    import re as _re
+    from collections import Counter
+
+    from oct_report_ocr_spark.operators.curation import (
+        CMS_D,
+        CMS_W,
+        CMS_PROBE_MIN,
+        q_cms_frequency_check,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("n_chars") > 0)
+    toks = []
+    for r in d.select("text").collect():
+        cleaned = _re.sub(" +", " ", _re.sub("[^a-z ]", "", r.text.lower())).strip()
+        toks.extend(cleaned.split(" "))
+
+    def bucket(seed, token):
+        h = hashlib.md5(f"{seed}:{token}".encode()).hexdigest()
+        return int(h[:8], 16) % CMS_W
+
+    cells = Counter()
+    for t in toks:
+        for s in range(CMS_D):
+            cells[(s, bucket(s, t))] += 1
+    exact = Counter(toks)
+    expect = {}
+    for t, n in exact.items():
+        if n >= CMS_PROBE_MIN:
+            est = min(cells[(s, bucket(s, t))] for s in range(CMS_D))
+            expect[t] = (n, est, est - n, est >= n)
+    got = {
+        r.token: (r.exact_n, r.est_n, r.overcount, r.never_underestimates)
+        for r in q_cms_frequency_check(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
+    assert all(v[3] for v in got.values())
+    assert any(v[2] > 0 for v in got.values())
