@@ -89,6 +89,7 @@ HEADLINE_QUERIES = [
     "url_canonical_dedup",
     "host_blocklist_filter",
     "cms_frequency_check",
+    "bloom_prefilter_check",
 ]
 
 

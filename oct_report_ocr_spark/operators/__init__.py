@@ -45,6 +45,7 @@ _GATE_PRIORITY = [
     "url_canonical_dedup",
     "host_blocklist_filter",
     "cms_frequency_check",
+    "bloom_prefilter_check",
     # green only in r01 — evidence now 2 rounds old, rotate back in
     "dedup_exact",
     "dedup_pipeline",

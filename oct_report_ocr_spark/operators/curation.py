@@ -1285,6 +1285,127 @@ GROUP BY rule_host, path_prefix
 SQL_HOST_BLOCKLIST_FILTER = _blocklist_sql()
 
 
+# --------------------------------------------------------------------------
+# Bloom-filter prefilter contract — the membership sketch that makes
+# incremental_dedup affordable at 10¹² docs: before anti-joining a new
+# crawl batch against the accumulated fingerprint index, probe a Bloom
+# filter of the index (a broadcast bitmap, here in its relational
+# encoding as a distinct bit-position table). Only bloom-positive rows
+# pay the real join; the Bloom guarantee (no false negatives) means no
+# true duplicate is ever missed.
+# --------------------------------------------------------------------------
+
+BLOOM_M = 2048  # bits — sized to the oracle index (~400 keys) so the
+#   false-positive rate (~9%) is visibly non-zero at test scale; a
+#   production filter sizes m per stored key, same plan
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_bits(key_col):
+    """Array of the K bit positions for a key — the engine-portable
+    md5 hex-fold family, one seed per hash function."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), key_col)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(BLOOM_M),
+            )
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def q_bloom_prefilter_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Per new-batch doc: exact membership in the snapshot index
+    (is_true_dup) next to the Bloom verdict (bloom_positive) and the
+    filter guarantee (no_false_negative — must be true for every row).
+    New batch = the doc_id % 10 >= 8 slice plus a planted twin (same
+    normalized key, id + 10⁶) for every doc_id % 20 == 3 index doc, so
+    true duplicates exist by construction; false positives arise
+    naturally from bit collisions (~9% of clean rows at oracle scale).
+
+    Scale posture: the Bloom table is bounded by M bits regardless of
+    index size — built with one distinct shuffle whose key domain is
+    ≤ M, then BROADCAST to the probe side (at 10¹² docs it ships as a
+    bitmap in a closure; relationally it is the same broadcast). The
+    probe side is map-only (explode ×K) plus a groupBy on doc_id. The
+    exact-membership join exists only as the small-sf truth — at scale
+    it runs on the bloom-positive survivors alone, which is the entire
+    point of the prefilter."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select("doc_id", F.md5(_NORM(F.col("text"))).alias("k"))
+    twins = keyed.filter(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "k"
+    )
+    newb = keyed.filter(F.col("doc_id") % 10 >= 8).unionByName(twins)
+    index = keyed.filter(F.col("doc_id") % 10 < 8).select("k")
+
+    bloom = (
+        index.select(F.explode(_bloom_bits(F.col("k"))).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probes = newb.select(
+        "doc_id", "k", F.explode(_bloom_bits(F.col("k"))).alias("bit")
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "bit", "left")
+        .groupBy("doc_id", "k")
+        .agg((F.count("present") == BLOOM_K).alias("bloom_positive"))
+    )
+    idx_marked = index.distinct().withColumn("in_idx", F.lit(1))
+    truth = newb.join(idx_marked, "k", "left").select(
+        "doc_id", F.col("in_idx").isNotNull().alias("is_true_dup")
+    )
+    return hits.join(truth, "doc_id").select(
+        "doc_id",
+        "is_true_dup",
+        "bloom_positive",
+        (~(F.col("is_true_dup") & ~F.col("bloom_positive"))).alias(
+            "no_false_negative"
+        ),
+    )
+
+
+_BLOOM_BIT_SQL = _hex8_fold_sql("CAST(j AS VARCHAR) || ':' || k") + f" % {BLOOM_M}"
+
+SQL_BLOOM_PREFILTER_CHECK = f"""
+WITH keyed AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS k FROM documents WHERE n_chars > 0
+), newb AS (
+  SELECT doc_id, k FROM keyed WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, k FROM keyed WHERE doc_id % 20 = 3
+), idx AS (
+  SELECT DISTINCT k FROM keyed WHERE doc_id % 10 < 8
+), bloom AS (
+  SELECT DISTINCT {_BLOOM_BIT_SQL} AS bit
+  FROM idx, (SELECT unnest(range(0, {BLOOM_K})) AS j)
+), probes AS (
+  SELECT doc_id, k,
+         unnest(list_transform(range(0, {BLOOM_K}),
+                               j -> {_BLOOM_BIT_SQL})) AS bit
+  FROM newb
+), hits AS (
+  SELECT p.doc_id, p.k, COUNT(b.bit) = {BLOOM_K} AS bloom_positive
+  FROM probes p LEFT JOIN bloom b ON p.bit = b.bit
+  GROUP BY p.doc_id, p.k
+), truth AS (
+  SELECT n.doc_id, i.k IS NOT NULL AS is_true_dup
+  FROM newb n LEFT JOIN idx i ON n.k = i.k
+)
+SELECT h.doc_id, t.is_true_dup, h.bloom_positive,
+       NOT (t.is_true_dup AND NOT h.bloom_positive) AS no_false_negative
+FROM hits h JOIN truth t ON h.doc_id = t.doc_id
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -1303,6 +1424,7 @@ QUERIES: dict = {
     "tier_extract": (q_tier_extract, SQL_TIER_EXTRACT),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "cms_frequency_check": (q_cms_frequency_check, SQL_CMS_FREQUENCY_CHECK),
+    "bloom_prefilter_check": (q_bloom_prefilter_check, SQL_BLOOM_PREFILTER_CHECK),
     "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
     "host_blocklist_filter": (q_host_blocklist_filter, SQL_HOST_BLOCKLIST_FILTER),

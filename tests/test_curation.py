@@ -459,3 +459,53 @@ def test_cms_frequency_check_contract(spark):
     assert got == expect and len(got) > 0
     assert all(v[3] for v in got.values())
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_bloom_prefilter_contract(spark):
+    """Replay the Bloom filter in pure Python (hashlib md5 + the same
+    hex fold) and assert (a) the operator's verdicts equal the replay
+    exactly, (b) zero false negatives (the Bloom guarantee), (c) false
+    positives exist so the contract is non-vacuous, (d) every planted
+    twin is flagged as a true dup."""
+    import hashlib
+    import re as _re
+
+    from oct_report_ocr_spark.operators.curation import (
+        BLOOM_K,
+        BLOOM_M,
+        q_bloom_prefilter_check,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("n_chars") > 0)
+
+    def key(text):
+        norm = _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", "", text.lower())).strip()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    keyed = [(r.doc_id, key(r.text)) for r in d.select("doc_id", "text").collect()]
+    newb = [(i, k) for i, k in keyed if i % 10 >= 8] + [
+        (i + 1000000, k) for i, k in keyed if i % 20 == 3
+    ]
+    idx = {k for i, k in keyed if i % 10 < 8}
+
+    def bits(k):
+        return [
+            int(hashlib.md5(f"{s}:{k}".encode()).hexdigest()[:8], 16) % BLOOM_M
+            for s in range(BLOOM_K)
+        ]
+
+    bloom = {b for k in idx for b in bits(k)}
+    expect = {}
+    for i, k in newb:
+        pos = all(b in bloom for b in bits(k))
+        true_dup = k in idx
+        expect[i] = (true_dup, pos, not (true_dup and not pos))
+    got = {
+        r.doc_id: (r.is_true_dup, r.bloom_positive, r.no_false_negative)
+        for r in q_bloom_prefilter_check(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
+    assert all(v[2] for v in got.values())  # no false negatives, ever
+    assert any(v[1] and not v[0] for v in got.values())  # real collisions
+    assert all(got[i + 1000000][0] for i, k in keyed if i % 20 == 3)
