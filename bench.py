@@ -90,6 +90,7 @@ HEADLINE_QUERIES = [
     "host_blocklist_filter",
     "cms_frequency_check",
     "bloom_prefilter_check",
+    "ann_recall_check",
 ]
 
 

@@ -46,7 +46,10 @@ _GATE_PRIORITY = [
     "host_blocklist_filter",
     "cms_frequency_check",
     "bloom_prefilter_check",
+    "ann_recall_check",
     # green only in r01 — evidence now 2 rounds old, rotate back in
+    # (head above is now exactly the 50-row gate window; r02-green rows
+    # keep their standing evidence)
     "dedup_exact",
     "dedup_pipeline",
     "minhash_signatures",

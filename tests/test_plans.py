@@ -141,7 +141,10 @@ def test_no_nested_loop_join_in_any_registered_query(spark):
     # tfidf_topterms broadcasts the ONE-row corpus doc count (Catalyst
     # constant-folds the lit-key equi-condition away, leaving a 1-row
     # BNLJ — a map-only scan, same bounded class as the query vector).
-    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "ann_ivf_multiprobe", "kmeans_step", "tfidf_topterms"}
+    # ann_recall_check composes ann_topk + both IVF paths, so it carries
+    # their bounded query-vector BNLJs (and nothing else — its own joins
+    # are 10-row broadcasts).
+    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "ann_ivf_multiprobe", "kmeans_step", "tfidf_topterms", "ann_recall_check"}
     for name, fn in entry.queries().items():
         if name in BASELINE_EXEMPT:
             continue
