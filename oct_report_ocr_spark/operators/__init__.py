@@ -14,8 +14,10 @@ from __future__ import annotations
 # only green evidence is r01 (out of the r02 window), including
 # minhash_lsh_pairs_capped / dedup_pipeline whose outputs changed in r02
 # (BAND_CAP 4→2) and were re-proven only by the local oracle suite (ADVICE
-# r02); (c) queries new in round 3.  The remainder follows in module order,
-# which re-gates the r02-green block inside the same 50-row window.
+# r02); (c) queries new in round 3.  The head is now EXACTLY the 50-row
+# window (27 r03-new + logmar_ladder + the 22-query r01 block); the
+# r02-green remainder follows in module order with standing 1-round-old
+# evidence, so after r03 no query's green row exceeds two rounds.
 _GATE_PRIORITY = [
     # never-green: -0.0 → +0.0 ladder fix lands this round
     "logmar_ladder",
