@@ -18,6 +18,11 @@ from __future__ import annotations
 # window (27 r03-new + logmar_ladder + the 22-query r01 block); the
 # r02-green remainder follows in module order with standing 1-round-old
 # evidence, so after r03 no query's green row exceeds two rounds.
+# The five tail queries added late in round 3 (rolling_stats, ntile_bins,
+# snapshot_diff, bigram_assoc, minhash_incremental) do NOT displace the
+# head — their r03 evidence is the bit-exact local checker
+# (scripts/check_oracle.py) plus semantics-pinning pytests
+# (tests/test_round3_tail.py); they rotate into the r04 gate window.
 _GATE_PRIORITY = [
     # never-green: -0.0 → +0.0 ladder fix lands this round
     "logmar_ladder",
@@ -128,6 +133,12 @@ def all_queries() -> dict:
         from . import curation
 
         out.update(curation.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from . import windows
+
+        out.update(windows.QUERIES)
     except ImportError:
         pass
     return _reorder(out)

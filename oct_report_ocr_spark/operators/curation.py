@@ -1406,6 +1406,154 @@ FROM hits h JOIN truth t ON h.doc_id = t.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-snapshot crawl diff — the recrawl-delta report every Common-
+# Crawl-style pipeline publishes per snapshot: which urls appeared,
+# vanished, or changed content between two crawls. Snapshots are
+# synthesized deterministically from doc_id (A drops the %10==9 slice,
+# B drops %10==0 and rewrites %7==0 content) so all four classes are
+# non-vacuous at oracle scale.
+# Scale posture: a FULL OUTER equi-join on the doc key — one exchange
+# per side (sort-merge; AQE splits skew). With real snapshots stored as
+# separate tables bucketed on doc_id (sources/io.write_bucketed_table)
+# the join is exchange-free; here both sides branch from one scan, so
+# each branch pushes its own %-filter to parquet. Content comparison is
+# on md5 fingerprints, not raw text, so the shuffle carries 32-byte
+# keys+hashes instead of page bodies — the only form that survives
+# 100 TB pages.
+# --------------------------------------------------------------------------
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    snap_a = d.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id", F.md5(F.col("text")).alias("fp_a")
+    )
+    text_b = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    snap_b = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5(text_b).alias("fp_b")
+    )
+    j = snap_a.join(snap_b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE n_chars > 0
+), snap_a AS (
+  SELECT doc_id, md5(text) AS fp_a FROM base WHERE doc_id % 10 <> 9
+), snap_b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp_b
+  FROM base WHERE doc_id % 10 <> 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.fp_a IS NULL THEN 'added'
+            WHEN b.fp_b IS NULL THEN 'removed'
+            WHEN a.fp_a <> b.fp_b THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Bigram association (lift) — collocation mining over the corpus, the
+# phrase-detection pass (word2vec-style phrase joining, tokenizer-merge
+# candidates) a training pipeline runs before vocabulary decisions.
+# lift(x,y) = P(xy)/(P(x)P(y)) in the RATIONAL form n_xy·N/(n_x·n_y):
+# exact BIGINT products, ONE correctly-rounded IEEE division — the same
+# ln-free discipline as tfidf_topterms, bit-identical across engines.
+# Scale posture: bigram counts are one hash aggregate with map-side
+# combine; the unigram table collapses to the vocabulary (tiny) →
+# BROADCAST onto the bigram side twice; the corpus token count joins as
+# a ONE-row broadcast (bounded-BNLJ class, plan-gated alongside
+# tfidf_topterms); top-20 is TakeOrderedAndProject, never a global sort.
+# --------------------------------------------------------------------------
+
+BIGRAM_MIN_COUNT = 5
+
+
+def q_bigram_assoc(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    toked = d.select(_toks().alias("ws")).filter(F.size("ws") >= 2)
+    pairs = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w1"),
+                    F.element_at(F.col("ws"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = (
+        d.select(F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = uni.agg(F.sum("n_w").alias("n_total"))
+    scored = (
+        big.filter(F.col("n_xy") >= BIGRAM_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("n_w", "n_x")), F.col("w1") == F.col("w"))
+        .drop("w")
+        .join(
+            F.broadcast(uni.withColumnRenamed("n_w", "n_y")), F.col("w2") == F.col("w")
+        )
+        .drop("w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                (F.col("n_xy") * F.col("n_total")).cast("double")
+                / (F.col("n_x") * F.col("n_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), F.col("bigram")).limit(20)
+
+
+SQL_BIGRAM_ASSOC = f"""
+WITH toked AS (
+  SELECT {_TOKS_SQL} AS ws FROM documents WHERE n_chars > 0
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS p
+  FROM toked WHERE len(ws) >= 2
+), big AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_xy FROM pairs GROUP BY 1, 2
+), uni AS (
+  SELECT w, COUNT(*) AS n_w
+  FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents WHERE n_chars > 0)
+  GROUP BY w
+), total AS (
+  SELECT SUM(n_w) AS n_total FROM uni
+)
+SELECT b.w1 || ' ' || b.w2 AS bigram, b.n_xy, x.n_w AS n_x, y.n_w AS n_y,
+       CAST(b.n_xy * t.n_total AS DOUBLE)
+         / CAST(x.n_w * y.n_w AS DOUBLE) AS lift
+FROM big b
+JOIN uni x ON b.w1 = x.w
+JOIN uni y ON b.w2 = y.w
+CROSS JOIN total t
+WHERE b.n_xy >= {BIGRAM_MIN_COUNT}
+ORDER BY lift DESC, bigram
+LIMIT 20
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -1428,4 +1576,6 @@ QUERIES: dict = {
     "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),
     "url_canonical_dedup": (q_url_canonical_dedup, SQL_URL_CANONICAL_DEDUP),
     "host_blocklist_filter": (q_host_blocklist_filter, SQL_HOST_BLOCKLIST_FILTER),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "bigram_assoc": (q_bigram_assoc, SQL_BIGRAM_ASSOC),
 }

@@ -929,6 +929,75 @@ FROM all_pairs GROUP BY doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup: the LSH companion of curation.incremental_dedup
+# (which is exact-hash). Each new crawl batch's band values probe the
+# accumulated signature index; a batch doc sharing any band with an
+# index doc is a near-dup candidate, reported with its lowest-id index
+# collision and collision count. Batch = doc_id % 10 == 0 (same split
+# family as the other incremental/bloom contracts); index = the rest.
+# Scale posture: at 10¹² docs the index band table is a STORED table
+# bucketed on (band_id, band_val) (sources/io.write_bucketed_table) so
+# every nightly batch join is exchange-free on the index side; here
+# both sides branch from one scan and the join is shuffle-hash on the
+# band key — never broadcast (the index is the big side), never a
+# corpus self-join (the batch side is the only probe). The per-doc
+# verdict is one aggregate on the batch's own doc_id.
+# --------------------------------------------------------------------------
+
+
+def q_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    sig = q_minhash_signatures(spark, sf)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"h{2*i}"), F.col(f"h{2*i+1}")))
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    newb = bands.filter(F.col("doc_id") % 10 == 0)
+    idx = (
+        bands.filter(F.col("doc_id") % 10 != 0)
+        .withColumnRenamed("doc_id", "idx_doc_id")
+        .hint("shuffle_hash")
+    )
+    return (
+        newb.join(idx, ["band_id", "band_val"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("idx_doc_id").alias("matched_rep"),
+            F.count_distinct("idx_doc_id").alias("n_index_collisions"),
+        )
+        .select(
+            "doc_id",
+            F.col("matched_rep").isNotNull().alias("is_near_dup"),
+            "matched_rep",
+            "n_index_collisions",
+        )
+    )
+
+
+SQL_MINHASH_INCREMENTAL = _minhash_sql_core() + f"""
+, bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_id, md5(h{2*i} || h{2*i+1}) AS band_val FROM mh" for i in range(N_BANDS))}
+), newb AS (
+  SELECT * FROM bands WHERE doc_id % 10 = 0
+), idx AS (
+  SELECT doc_id AS idx_doc_id, band_id, band_val FROM bands WHERE doc_id % 10 <> 0
+)
+SELECT n.doc_id,
+       MIN(i.idx_doc_id) IS NOT NULL AS is_near_dup,
+       MIN(i.idx_doc_id) AS matched_rep,
+       COUNT(DISTINCT i.idx_doc_id) AS n_index_collisions
+FROM newb n LEFT JOIN idx i ON n.band_id = i.band_id AND n.band_val = i.band_val
+GROUP BY n.doc_id
+"""
+
+
 QUERIES: dict = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_pipeline": (q_dedup_pipeline, _dedup_pipeline_sql()),
@@ -943,4 +1012,5 @@ QUERIES: dict = {
     "dedup_survivors": (q_dedup_survivors, _dedup_survivors_sql()),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, SQL_NGRAM_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "minhash_incremental": (q_minhash_incremental, SQL_MINHASH_INCREMENTAL),
 }

@@ -143,8 +143,9 @@ def test_no_nested_loop_join_in_any_registered_query(spark):
     # BNLJ — a map-only scan, same bounded class as the query vector).
     # ann_recall_check composes ann_topk + both IVF paths, so it carries
     # their bounded query-vector BNLJs (and nothing else — its own joins
-    # are 10-row broadcasts).
-    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "ann_ivf_multiprobe", "kmeans_step", "tfidf_topterms", "ann_recall_check"}
+    # are 10-row broadcasts). bigram_assoc broadcasts the ONE-row corpus
+    # token total, same bounded class as tfidf_topterms' doc count.
+    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "ann_ivf_multiprobe", "kmeans_step", "tfidf_topterms", "ann_recall_check", "bigram_assoc"}
     for name, fn in entry.queries().items():
         if name in BASELINE_EXEMPT:
             continue

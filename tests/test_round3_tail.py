@@ -1,0 +1,142 @@
+"""Unit tests for the round-3 tail queries (operators/windows.py plus
+the snapshot-diff / bigram-association / incremental-LSH additions).
+
+The oracle sweep proves Spark-vs-DuckDB parity; these pin the
+*semantics* independently, so a bug mirrored into both engines'
+expressions can't pass silently.
+"""
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from oct_report_ocr_spark.operators import curation, dedup, windows
+from oct_report_ocr_spark.operators.relational import load
+
+
+def test_rolling_stats_matches_python_replay(spark):
+    """Per-user 3-row frame replayed in plain Python over the same
+    (ts_us, event_id) order: sums, counts, and the single-division
+    mean must agree exactly."""
+    out = {r.event_id: r for r in windows.q_rolling_stats(spark, SF_SMOKE).collect()}
+    ev = (
+        load(spark, SF_SMOKE, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    n_checked = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts_us, r.event_id))
+        for i, r in enumerate(rows):
+            frame = rows[max(0, i - 2) : i + 1]
+            got = out[r.event_id]
+            assert got.roll_sum == sum(x.cents for x in frame)
+            assert got.roll_n == len(frame)
+            assert got.roll_avg == float(sum(x.cents for x in frame)) / len(frame)
+            n_checked += 1
+    assert n_checked == len(out) > 0
+
+
+def test_ntile_bins_partition_and_ordering(spark):
+    """Quartile cells reconcile to per-lang doc counts, sizes differ by
+    at most 1 within a lang, and char ranges are monotone across
+    quartiles (ties on n_chars may touch at the boundary, never
+    invert)."""
+    rows = windows.q_ntile_bins(spark, SF_SMOKE).collect()
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r.lang][r.quartile] = r
+    truth = {
+        r.lang: r.n
+        for r in load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, cells in by_lang.items():
+        assert sorted(cells) == [1, 2, 3, 4]
+        sizes = [cells[q].n_docs for q in (1, 2, 3, 4)]
+        assert sum(sizes) == truth[lang]
+        assert max(sizes) - min(sizes) <= 1
+        for q in (1, 2, 3):
+            assert cells[q].max_chars <= cells[q + 1].min_chars
+        for q in (1, 2, 3, 4):
+            assert cells[q].min_chars <= cells[q].max_chars
+
+
+def test_snapshot_diff_statuses_follow_id_arithmetic(spark):
+    """Status is fully determined by doc_id under the synthetic split:
+    A drops %10==9 (so those appear as added in B), B drops %10==0
+    (removed), else %7==0 → changed (B rewrites content), else
+    unchanged."""
+    rows = curation.q_snapshot_diff(spark, SF_SMOKE).collect()
+    ids = {
+        r.doc_id
+        for r in load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == ids
+    for r in rows:
+        if r.doc_id % 10 == 9:
+            want = "added"
+        elif r.doc_id % 10 == 0:
+            want = "removed"
+        elif r.doc_id % 7 == 0:
+            want = "changed"
+        else:
+            want = "unchanged"
+        assert r.status == want, r
+
+
+def test_bigram_assoc_lift_arithmetic_and_order(spark):
+    """Every returned lift is exactly n_xy·N/(n_x·n_y) with N the
+    independently-counted corpus token total; the threshold holds and
+    the ordering is (lift desc, bigram asc)."""
+    rows = curation.q_bigram_assoc(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    from oct_report_ocr_spark.operators.extra import _toks
+
+    n_total = (
+        load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select(F.explode(_toks()).alias("w"))
+        .count()
+    )
+    for r in rows:
+        assert r.n_xy >= curation.BIGRAM_MIN_COUNT
+        assert r.lift == float(r.n_xy * n_total) / float(r.n_x * r.n_y)
+    keys = [(-r.lift, r.bigram) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_minhash_incremental_consistent_with_lsh_pairs(spark):
+    """A batch doc (doc_id % 10 == 0) is flagged iff the full LSH pair
+    table contains a pair linking it to an index doc; matched_rep and
+    the collision count must agree with that pair table."""
+    inc = {r.doc_id: r for r in dedup.q_minhash_incremental(spark, SF_SMOKE).collect()}
+    pairs = dedup.q_minhash_lsh_pairs(spark, SF_SMOKE).collect()
+    partners = defaultdict(set)
+    for p in pairs:
+        for batch, other in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if batch % 10 == 0 and other % 10 != 0:
+                partners[batch].add(other)
+    for doc_id, r in inc.items():
+        exp = partners.get(doc_id, set())
+        assert r.is_near_dup == bool(exp), (doc_id, exp)
+        assert r.n_index_collisions == len(exp)
+        assert r.matched_rep == (min(exp) if exp else None)
+    # every flagged-by-pairs batch doc must appear in the incremental output
+    assert set(partners) <= set(inc)
