@@ -91,6 +91,12 @@ HEADLINE_QUERIES = [
     "cms_frequency_check",
     "bloom_prefilter_check",
     "ann_recall_check",
+    # round 3 tail additions
+    "rolling_stats",
+    "ntile_bins",
+    "snapshot_diff",
+    "bigram_assoc",
+    "minhash_incremental",
 ]
 
 
