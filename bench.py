@@ -97,6 +97,8 @@ HEADLINE_QUERIES = [
     "snapshot_diff",
     "bigram_assoc",
     "minhash_incremental",
+    "shared_ngrams_intersect",
+    "removed_content_except",
 ]
 
 

@@ -1554,6 +1554,82 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Set operations beyond union (SURVEY §2.6 notes the reference has no
+# INTERSECT/EXCEPT; a corpus pipeline does):
+# - shared_ngrams_intersect: the content vocabulary two crawl sources
+#   have in common (INTERSECT, distinct semantics) — the cross-source
+#   contamination / template-overlap probe.
+# - removed_content_except: the multiset of content units (trigram
+#   occurrences) the new crawl snapshot lost vs the old one
+#   (EXCEPT ALL, multiplicity-preserving) — the content-level
+#   companion of snapshot_diff's url-level report.
+# Scale posture: Spark plans INTERSECT as map-side-distinct + one
+# hash-partitioned semi-join on the value and EXCEPT ALL as per-side
+# count aggregates + a replicate-by-count generate — both are
+# single-shuffle-per-side shapes on the value key, no row-level pair
+# join, so they survive any corpus size. Both engines' ALL variants
+# share min/difference multiset semantics (verified in the oracle).
+# --------------------------------------------------------------------------
+
+
+def q_shared_ngrams_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+
+    def tri_of(src: str) -> DataFrame:
+        return (
+            d.filter(F.col("source") == src)
+            .select(_toks().alias("toks"))
+            .select(F.explode(_trigrams(F.col("toks"))).alias("trigram"))
+        )
+
+    return tri_of("src0").intersect(tri_of("src1"))
+
+
+SQL_SHARED_NGRAMS_INTERSECT = f"""
+SELECT unnest({_TRIGRAMS_SQL}) AS trigram
+FROM documents WHERE n_chars > 0 AND source = 'src0'
+INTERSECT
+SELECT unnest({_TRIGRAMS_SQL}) AS trigram
+FROM documents WHERE n_chars > 0 AND source = 'src1'
+"""
+
+
+def q_removed_content_except(spark: SparkSession, sf: str) -> DataFrame:
+    """Same deterministic snapshot split as q_snapshot_diff: A drops
+    %10==9, B drops %10==0 and rewrites %7==0 content — so the EXCEPT
+    ALL output carries whole removed documents plus the rewritten
+    tails of changed ones, with true multiplicities."""
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+
+    def tri(df: DataFrame) -> DataFrame:
+        return df.select(_toks().alias("toks")).select(
+            F.explode(_trigrams(F.col("toks"))).alias("trigram")
+        )
+
+    snap_a = d.filter(F.col("doc_id") % 10 != 9)
+    text_b = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    snap_b = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", text_b.alias("text")
+    )
+    return tri(snap_a).exceptAll(tri(snap_b))
+
+
+SQL_REMOVED_CONTENT_EXCEPT = f"""
+SELECT unnest({_TRIGRAMS_SQL}) AS trigram
+FROM documents WHERE n_chars > 0 AND doc_id % 10 <> 9
+EXCEPT ALL
+SELECT unnest({_TRIGRAMS_SQL}) AS trigram
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE n_chars > 0 AND doc_id % 10 <> 0
+)
+"""
+
+
 QUERIES: dict = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -1578,4 +1654,6 @@ QUERIES: dict = {
     "host_blocklist_filter": (q_host_blocklist_filter, SQL_HOST_BLOCKLIST_FILTER),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "bigram_assoc": (q_bigram_assoc, SQL_BIGRAM_ASSOC),
+    "shared_ngrams_intersect": (q_shared_ngrams_intersect, SQL_SHARED_NGRAMS_INTERSECT),
+    "removed_content_except": (q_removed_content_except, SQL_REMOVED_CONTENT_EXCEPT),
 }

@@ -122,6 +122,59 @@ def test_bigram_assoc_lift_arithmetic_and_order(spark):
     assert keys == sorted(keys)
 
 
+def test_shared_ngrams_intersect_is_distinct_set_intersection(spark):
+    """INTERSECT semantics replayed in Python: output = the distinct
+    trigram sets of src0 and src1 intersected, each row unique."""
+    rows = [r.trigram for r in curation.q_shared_ngrams_intersect(spark, SF_SMOKE).collect()]
+    assert len(rows) == len(set(rows))  # distinct semantics
+
+    def tri_set(src):
+        from oct_report_ocr_spark.operators.extra import _toks
+
+        return {
+            r.t
+            for r in load(spark, SF_SMOKE, "documents")
+            .filter((F.col("n_chars") > 0) & (F.col("source") == src))
+            .select(F.explode(curation._trigrams(_toks())).alias("t"))
+            .collect()
+        }
+
+    assert set(rows) == tri_set("src0") & tri_set("src1")
+    assert rows  # non-vacuous at oracle scale
+
+
+def test_removed_content_except_multiset_difference(spark):
+    """EXCEPT ALL semantics replayed in Python: per-trigram output
+    multiplicity == max(0, count_A - count_B) under the snapshot
+    split, and only A-side trigrams appear."""
+    from collections import Counter
+
+    got = Counter(
+        r.trigram for r in curation.q_removed_content_except(spark, SF_SMOKE).collect()
+    )
+    from oct_report_ocr_spark.operators.extra import _toks
+
+    base = load(spark, SF_SMOKE, "documents").filter(F.col("n_chars") > 0)
+    a = Counter(
+        r.t
+        for r in base.filter(F.col("doc_id") % 10 != 9)
+        .select(F.explode(curation._trigrams(_toks())).alias("t"))
+        .collect()
+    )
+    text_b = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    b = Counter(
+        r.t
+        for r in base.filter(F.col("doc_id") % 10 != 0)
+        .select(text_b.alias("text"))
+        .select(F.explode(curation._trigrams(_toks())).alias("t"))
+        .collect()
+    )
+    want = Counter({t: a[t] - b[t] for t in a if a[t] > b[t]})
+    assert got == want and got
+
+
 def test_minhash_incremental_consistent_with_lsh_pairs(spark):
     """A batch doc (doc_id % 10 == 0) is flagged iff the full LSH pair
     table contains a pair linking it to an index doc; matched_rep and
