@@ -175,6 +175,55 @@ def test_removed_content_except_multiset_difference(spark):
     assert got == want and got
 
 
+def test_tokenizer_cross_engine_edge_strings(spark):
+    """The _toks / _TOKS_SQL twin pair must agree OUTSIDE the word-soup
+    corpus too — empty strings, pure punctuation, repeated/leading/
+    trailing whitespace, tabs/newlines, digits, mixed case. The corpus
+    oracle can never exercise these (31-token lowercase vocabulary), so
+    a semantic drift between Java regex and DuckDB RE2 tokenization
+    would ship blind without this pin."""
+    import duckdb
+
+    from oct_report_ocr_spark.operators.extra import _TOKS_SQL, _toks
+
+    cases = [
+        "",
+        " ",
+        "   ",
+        "abc",
+        "ABC def",
+        "a1b2 c3",
+        "...",
+        "a  b",
+        " a b ",
+        "tab\tsep",
+        "new\nline",
+        "UPPER lower MiXeD",
+        "a-b_c",
+        "9",
+        "!@#$%",
+        "ends with space ",
+        " leading",
+        "a" * 50,
+        ("word " * 20).strip(),
+        "punct.in.the middle, of words!",
+    ]
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "text"])
+    got_spark = {
+        r.i: list(r.t) for r in sdf.select("i", _toks().alias("t")).collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, ?)" for i in range(len(cases)))
+    got_duck = {
+        i: list(t)
+        for i, t in con.execute(
+            f"SELECT i, {_TOKS_SQL} FROM (VALUES {values}) AS documents(i, text)",
+            cases,
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+
+
 def test_minhash_incremental_consistent_with_lsh_pairs(spark):
     """A batch doc (doc_id % 10 == 0) is flagged iff the full LSH pair
     table contains a pair linking it to an index doc; matched_rep and
