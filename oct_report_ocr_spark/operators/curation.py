@@ -1565,11 +1565,12 @@ LIMIT 20
 #   (EXCEPT ALL, multiplicity-preserving) — the content-level
 #   companion of snapshot_diff's url-level report.
 # Scale posture: Spark plans INTERSECT as map-side-distinct + one
-# hash-partitioned semi-join on the value and EXCEPT ALL as per-side
-# count aggregates + a replicate-by-count generate — both are
-# single-shuffle-per-side shapes on the value key, no row-level pair
-# join, so they survive any corpus size. Both engines' ALL variants
-# share min/difference multiset semantics (verified in the oracle).
+# hash-partitioned semi-join on the value, and EXCEPT ALL as a UNION of
+# signed per-side counts collapsed by ONE exchange + hash aggregate,
+# then a replicate-by-count Generate (PLANS.md: n_exchanges=1 total) —
+# no row-level pair join in either, so they survive any corpus size.
+# Both engines' ALL variants share min/difference multiset semantics
+# (verified in the oracle).
 # --------------------------------------------------------------------------
 
 
