@@ -411,6 +411,23 @@ GROUP BY para_md5 HAVING COUNT(*) >= 2
 # --------------------------------------------------------------------------
 
 
+def _has_stopword(toks):
+    return F.arrays_overlap(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
+
+
+def _tier_of(toks):
+    """The tier rule as a pure column expression over a token array —
+    THE single definition shared by ``tier_label`` (and through it
+    ``tier_extract`` / ``quality_tiers``) and the streaming crawl
+    monitor, so batch, oracle, and stream labeling cannot drift."""
+    n_words = F.size(toks)
+    return (
+        F.when((n_words >= 60) & _has_stopword(toks), F.lit("high"))
+        .when(n_words >= 30, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+
+
 def tier_label(docs: DataFrame) -> DataFrame:
     """Apply the tier rule to ANY documents frame (batch or streaming —
     the expressions are stateless map-only, so the identical labeling
@@ -423,12 +440,8 @@ def tier_label(docs: DataFrame) -> DataFrame:
     toks = F.col("toks")
     n_words = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-    has_stop = F.arrays_overlap(toks, F.array(*[F.lit(s) for s in _STOPWORDS]))
-    tier = (
-        F.when((n_words >= 60) & has_stop, F.lit("high"))
-        .when(n_words >= 30, F.lit("mid"))
-        .otherwise(F.lit("low"))
-    )
+    has_stop = _has_stopword(toks)
+    tier = _tier_of(toks)
     return d.select(
         "doc_id",
         "lang",

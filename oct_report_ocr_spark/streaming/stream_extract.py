@@ -105,6 +105,53 @@ def sessionize_stream(events: DataFrame, gap: str = "1 hour") -> DataFrame:
     )
 
 
+def crawl_monitor_stream(
+    docs: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time crawl-health monitor: per (window, tier)
+    document count and char mass over the live crawl — the dashboard
+    feed a 10¹²-doc ingestion runs next to extraction. Expects the
+    crawl-page shape (``warc_ts timestamp, text string, lang string``,
+    extra columns ignored) and works identically on a batch frame (the
+    pytest proves batch/stream equality).
+
+    The tier column comes from the SAME ``_tier_of`` expression as
+    ``tier_extract`` / ``quality_tiers`` (operators/curation.py), so
+    the monitor can never disagree with the batch labeling.
+
+    Scale posture: the label is stateless map-only; the windowed
+    aggregate keeps one (window, tier) cell per group with map-side
+    partial combine, and the watermark bounds state to the open
+    windows — O(windows × tiers), independent of crawl size. Late
+    captures beyond ``watermark`` are dropped, the documented horizon.
+    Note for availableNow runs: windows are emitted in append mode only
+    once the watermark passes them — use outputMode('complete') (as the
+    test does) when the final open windows must be visible at stop."""
+    from oct_report_ocr_spark.operators.curation import _tier_of
+    from oct_report_ocr_spark.operators.extra import _toks
+
+    labeled = docs.filter(F.length("text") > 0).select(
+        "warc_ts",
+        _tier_of(_toks()).alias("tier"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        labeled.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tier",
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 def dedup_stream(docs: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Custom stateful streaming operator (§2.9 depth):
     first-occurrence-wins exact dedup across micro-batches via

@@ -179,6 +179,44 @@ def test_sessionize_stream_batch_form(spark):
     assert sum(r.n_events for r in out) == ev.count()
 
 
+def test_crawl_monitor_stream_matches_batch(spark, tmp_path):
+    """The windowed (window, tier) crawl monitor must produce the
+    IDENTICAL cells from a Structured Streaming availableNow run
+    (complete mode — the final open windows must be visible at stop)
+    and from the same expression over a batch read of the corpus."""
+    from oct_report_ocr_spark.streaming.stream_extract import (
+        CORPUS_DDL,
+        crawl_monitor_stream,
+    )
+
+    corpus = ensure_corpus(CACHE, 0.001)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    os.link(corpus, os.path.join(in_dir, "part-0.parquet"))
+
+    batch = {
+        tuple(r) for r in crawl_monitor_stream(spark.read.parquet(corpus)).collect()
+    }
+    docs = spark.readStream.schema(CORPUS_DDL).parquet(in_dir)
+    q = (
+        crawl_monitor_stream(docs)
+        .writeStream.format("memory")
+        .queryName("crawl_monitor")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM crawl_monitor").collect()}
+    assert got == batch and len(got) > 0
+    # the tier vocabulary is the shared rule's
+    assert {t for (_, _, t, _, _) in got} <= {"high", "mid", "low"}
+    # state is bounded by (windows × tiers): every window is 1h-aligned
+    for ws, we, _t, n, chars in got:
+        assert (we - ws).total_seconds() == 3600
+        assert n > 0 and chars > 0
+
+
 def test_dedup_stream_stateful(spark, tmp_path):
     """applyInPandasWithState exact dedup: duplicate payloads across
     micro-batch files collapse to one survivor per fingerprint, and an
