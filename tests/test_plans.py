@@ -123,15 +123,48 @@ def test_extraction_resume_filter_reaches_scan(spark):
     assert m.start() < p.rindex("MapInArrow"), p[:2000]
 
 
-def test_no_nested_loop_join_in_any_registered_query(spark):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def registry_plan_checks(spark):
+    """plan_checks for EVERY registered query, computed once per module
+    run (each check executes the query at SF_SMOKE) and shared by the
+    registry-wide gates below."""
+    import __spark_entry__ as entry
+
+    return {
+        name: plan_checks(fn(spark, SF_SMOKE))
+        for name, fn in entry.queries().items()
+    }
+
+
+def test_exchange_budget_no_regression(registry_plan_checks):
+    """Per-query shuffle-count budget: every registered query's executed
+    plan must stay within its recorded exchange count
+    (tests/fixtures/plan_budget.json). An edit that sneaks an extra
+    Exchange into any of the 100+ plans — the classic silent 100 TB
+    regression — fails here instead of shipping. New queries must
+    record a budget (a conscious scale-posture decision, reviewed like
+    the PLANS.md snapshot)."""
+    import json
+
+    with open(os.path.join(os.path.dirname(__file__), "fixtures", "plan_budget.json")) as f:
+        budget = json.load(f)
+    for name, c in registry_plan_checks.items():
+        assert name in budget, (
+            f"new query {name!r}: record its exchange budget in "
+            "tests/fixtures/plan_budget.json (a deliberate scale-posture decision)"
+        )
+        assert c["n_exchanges"] <= budget[name], (name, c["n_exchanges"], budget[name])
+
+
+def test_no_nested_loop_join_in_any_registered_query(spark, registry_plan_checks):
     """VERDICT r02 item 6: no registered query may contain a nested-loop
     (cartesian) join — the one O(n²) plan class that cannot survive
     corpus scale. The single exemption is the documented all-pairs
     exactness baseline `embedding_near_dup`, which additionally carries
     a BASELINE_MAX_VECTORS row-count guard (asserted below)."""
-    import pytest
-
-    import __spark_entry__ as entry
     from oct_report_ocr_spark.operators import similarity
 
     BASELINE_EXEMPT = {"embedding_near_dup"}
@@ -146,10 +179,9 @@ def test_no_nested_loop_join_in_any_registered_query(spark):
     # are 10-row broadcasts). bigram_assoc broadcasts the ONE-row corpus
     # token total, same bounded class as tfidf_topterms' doc count.
     BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "ann_ivf_multiprobe", "kmeans_step", "tfidf_topterms", "ann_recall_check", "bigram_assoc"}
-    for name, fn in entry.queries().items():
+    for name, c in registry_plan_checks.items():
         if name in BASELINE_EXEMPT:
             continue
-        c = plan_checks(fn(spark, SF_SMOKE))
         assert c["n_cartesian_products"] == 0, (name, c)
         if name not in BOUNDED_BROADCAST_OK:
             assert c["n_broadcast_nl_joins"] == 0, (name, c)
