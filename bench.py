@@ -99,6 +99,7 @@ HEADLINE_QUERIES = [
     "minhash_incremental",
     "shared_ngrams_intersect",
     "removed_content_except",
+    "mix_sample",
 ]
 
 

@@ -18,10 +18,10 @@ from __future__ import annotations
 # window (27 r03-new + logmar_ladder + the 22-query r01 block); the
 # r02-green remainder follows in module order with standing 1-round-old
 # evidence, so after r03 no query's green row exceeds two rounds.
-# The seven tail queries added late in round 3 (rolling_stats, ntile_bins,
+# The eight tail queries added late in round 3 (rolling_stats, ntile_bins,
 # snapshot_diff, bigram_assoc, minhash_incremental,
-# shared_ngrams_intersect, removed_content_except) do NOT displace the
-# head — their r03 evidence is the bit-exact local checker
+# shared_ngrams_intersect, removed_content_except, mix_sample) do NOT
+# displace the head — their r03 evidence is the bit-exact local checker
 # (scripts/check_oracle.py) plus semantics-pinning pytests
 # (tests/test_round3_tail.py); they rotate into the r04 gate window.
 _GATE_PRIORITY = [

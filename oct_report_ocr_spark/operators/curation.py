@@ -709,6 +709,93 @@ FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# Temperature-weighted corpus sampling — the MATERIALIZATION of
+# mix_weights: actually draw the mixed training sample (expected size
+# MIX_SAMPLE_TARGET, per-source mass ∝ n_i^α) with a deterministic
+# hash-threshold draw instead of a PRNG, so the sample is identical
+# under retries, repartitioning, and engine (the stratified_sample
+# discipline applied to source mixing).
+# Float discipline: the only float op is the SAME round(·,6)-stabilized
+# weight mix_weights publishes (re-rounded to an exact integer w6);
+# thresholds are FLOOR of one exact-integer division — bit-identical
+# engines, and a 1-ulp pow divergence cannot flip a row's keep verdict
+# because every comparison happens on integers.
+# Scale posture: ONE tiny hash aggregate on source (map-side combined)
+# → ~|sources| threshold rows BROADCAST back onto the corpus → the keep
+# filter is map-only codegen. No corpus shuffle at any size.
+# --------------------------------------------------------------------------
+
+# Expected mixed-sample size. 100 (not a production-ish 10⁶+) so the
+# draw is NON-VACUOUS at oracle scale: the n_chars>0 corpus slice holds
+# 500 docs, and a larger target pushes every per-source threshold past
+# the hash modulus — keeping everything and testing nothing (the
+# BAND_CAP=2 reasoning). Semantics are target-value-independent.
+MIX_SAMPLE_TARGET = 100
+_MIX_HASH_M = 1_000_000
+
+
+def _hex8_fold_sql(expr: str) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(expr),1,8),16,10):
+    positional hex fold, exact in DOUBLE below 2^53 (same construction
+    as shard_plan's _HEX8_SQL, parameterized on the hashed string)."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), i -> "
+        f"(instr('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)"
+        " * (16.0 ** (8 - i)))) AS BIGINT)"
+    )
+
+
+def q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA))
+    total = F.sum(w).over(Window.partitionBy())
+    w6 = F.round(F.round(w / total, 6) * 1e6, 0).cast("bigint")
+    thr = counts.select(
+        "source",
+        F.least(
+            F.floor(F.lit(MIX_SAMPLE_TARGET) * w6 / F.col("n_docs")).cast("bigint"),
+            F.lit(_MIX_HASH_M).cast("bigint"),
+        ).alias("threshold"),
+    )
+    h = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(_MIX_HASH_M),
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(thr), "source")
+        .filter(h < F.col("threshold"))
+        .select("doc_id", "source")
+    )
+
+
+_MIX_HASH_SQL = _hex8_fold_sql("CAST(doc_id AS VARCHAR)") + f" % {_MIX_HASH_M}"
+
+SQL_MIX_SAMPLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs
+  FROM documents WHERE n_chars > 0 GROUP BY source
+), thr AS (
+  SELECT source,
+         LEAST(CAST(FLOOR({MIX_SAMPLE_TARGET} * CAST(ROUND(ROUND(
+             POWER(n_docs, {MIX_ALPHA})
+               / SUM(POWER(n_docs, {MIX_ALPHA})) OVER (), 6) * 1000000, 0)
+           AS BIGINT) / n_docs) AS BIGINT),
+           CAST({_MIX_HASH_M} AS BIGINT)) AS threshold
+  FROM counts
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE d.n_chars > 0 AND {_MIX_HASH_SQL} < thr.threshold
+"""
+
+
 # Tokens per packed training sequence. Production budgets are 2k–8k;
 # 256 keeps the oracle non-vacuous at test scale (the largest
 # (lang, bucket) group holds ~1.2k tokens at sf0.01, so a 2k budget
@@ -976,17 +1063,6 @@ CMS_W = 8  # buckets per row — sized to the corpus vocab (~31 distinct
 #   overcount column is non-vacuous; a production corpus sizes W in the
 #   tens of thousands, same plan
 CMS_PROBE_MIN = 100  # probe set: tokens at/above token_frequency's bar
-
-
-def _hex8_fold_sql(expr: str) -> str:
-    """DuckDB twin of Spark's conv(substring(md5(expr),1,8),16,10):
-    positional hex fold, exact in DOUBLE below 2^53 (same construction
-    as shard_plan's _HEX8_SQL, parameterized on the hashed string)."""
-    return (
-        "CAST(list_sum(list_transform(range(1, 9), i -> "
-        f"(instr('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)"
-        " * (16.0 ** (8 - i)))) AS BIGINT)"
-    )
 
 
 def q_cms_frequency_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -1670,4 +1746,5 @@ QUERIES: dict = {
     "bigram_assoc": (q_bigram_assoc, SQL_BIGRAM_ASSOC),
     "shared_ngrams_intersect": (q_shared_ngrams_intersect, SQL_SHARED_NGRAMS_INTERSECT),
     "removed_content_except": (q_removed_content_except, SQL_REMOVED_CONTENT_EXCEPT),
+    "mix_sample": (q_mix_sample, SQL_MIX_SAMPLE),
 }

@@ -175,6 +175,42 @@ def test_removed_content_except_multiset_difference(spark):
     assert got == want and got
 
 
+def test_mix_sample_threshold_draw_properties(spark):
+    """The temperature-weighted sample must be a pure hash-threshold
+    draw: per source, every kept doc's portable hash is strictly below
+    every dropped doc's (a single threshold separates them), the
+    total is near MIX_SAMPLE_TARGET, and a rerun returns the identical
+    set (PRNG-free, retry-stable)."""
+    import hashlib
+
+    kept = {(r.doc_id, r.source) for r in curation.q_mix_sample(spark, SF_SMOKE).collect()}
+    assert kept == {
+        (r.doc_id, r.source) for r in curation.q_mix_sample(spark, SF_SMOKE).collect()
+    }
+    corpus = [
+        (r.doc_id, r.source)
+        for r in load(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "source")
+        .collect()
+    ]
+    assert kept <= set(corpus)
+    assert 0.3 * curation.MIX_SAMPLE_TARGET < len(kept) < 1.7 * curation.MIX_SAMPLE_TARGET
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 1000000
+
+    by_source = defaultdict(lambda: ([], []))
+    for doc_id, source in corpus:
+        by_source[source][0 if (doc_id, source) in kept else 1].append(h(doc_id))
+    n_sources_with_both = 0
+    for source, (kept_h, dropped_h) in by_source.items():
+        if kept_h and dropped_h:
+            assert max(kept_h) < min(dropped_h), source
+            n_sources_with_both += 1
+    assert n_sources_with_both > 0  # the draw actually separates somewhere
+
+
 def test_tokenizer_cross_engine_edge_strings(spark):
     """The _toks / _TOKS_SQL twin pair must agree OUTSIDE the word-soup
     corpus too — empty strings, pure punctuation, repeated/leading/
