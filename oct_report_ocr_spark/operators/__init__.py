@@ -24,6 +24,15 @@ from __future__ import annotations
 # displace the head — their r03 evidence is the bit-exact local checker
 # (scripts/check_oracle.py) plus semantics-pinning pytests
 # (tests/test_round3_tail.py); they rotate into the r04 gate window.
+#
+# r04 ROTATION PLAN (write it down now — 107 queries > the 100 a 50-row
+# window can keep ≤2 rounds old): head = the 8 never-gated tail queries
+# + the stalest 42 of the 49 r02-green rows. The 7 r02-green rows that
+# slip to 3 rounds old must be chosen from the frozen pure-relational
+# block (unchanged since r01, r01+r02 double-green, zero code churn),
+# never from dedup/similarity/curation whose constants or plans moved.
+# Any query whose OUTPUT changes in r04 goes into the head that round
+# regardless (the ADVICE r02 rule).
 _GATE_PRIORITY = [
     # never-green: -0.0 → +0.0 ladder fix lands this round
     "logmar_ladder",
