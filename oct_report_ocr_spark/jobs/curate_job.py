@@ -9,8 +9,11 @@ Stages (all lazy until the sinks; nothing collects corpus-sized data):
 2. normalized dedup — keep the lowest doc_id per case/punct-invariant
    content fingerprint (the ``dedup_normalized`` rule as a window-free
    groupBy+join; one shuffle on the 16-byte key);
-3. tier labeling — ``operators.curation.tier_label`` (map-only);
-4. sinks — hive-partitioned (tier, lang) corpus via
+3. (optional, ``--mix-target N``) temperature-weighted mixing draw —
+   ``operators.curation.mix_sample_df`` (p ∝ n^α per source;
+   deterministic hash thresholds, broadcast, map-only filter);
+4. tier labeling — ``operators.curation.tier_label`` (map-only);
+5. sinks — hive-partitioned (tier, lang) corpus via
    ``write_tiered_corpus`` (partition-pruned mixing reads) and the
    dataloader shard layout via ``write_training_shards``.
 
@@ -36,8 +39,13 @@ def run(
     output_path: str,
     n_shards: int = 8,
     input_format: str = "parquet",
+    mix_target: int | None = None,
 ) -> dict:
-    from oct_report_ocr_spark.operators.curation import _NORM, tier_label
+    from oct_report_ocr_spark.operators.curation import (
+        _NORM,
+        mix_sample_df,
+        tier_label,
+    )
     from oct_report_ocr_spark.sources.io import (
         read_wet,
         write_tiered_corpus,
@@ -75,6 +83,11 @@ def run(
         .drop("content_key", "survivor_id")
     )
 
+    # optional temperature-weighted mixing draw (p ∝ n^α per source;
+    # deterministic hash thresholds, no PRNG) between dedup and labeling
+    if mix_target is not None:
+        deduped = mix_sample_df(deduped, mix_target)
+
     labeled = tier_label(deduped)
     tier_manifest = write_tiered_corpus(labeled, output_path + "/tiered")
     shard_manifest = write_training_shards(
@@ -108,10 +121,28 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--format", default="parquet", choices=["parquet", "wet"])
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--mix-target",
+        type=int,
+        default=None,
+        help="expected size of the temperature-weighted (p ∝ n^α) "
+        "mixing draw applied between dedup and tier labeling",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="curate_job", cores=args.cores)
-    print(json.dumps(run(spark, args.input, args.output, args.shards, args.format)))
+    print(
+        json.dumps(
+            run(
+                spark,
+                args.input,
+                args.output,
+                args.shards,
+                args.format,
+                mix_target=args.mix_target,
+            )
+        )
+    )
 
 
 if __name__ == "__main__":

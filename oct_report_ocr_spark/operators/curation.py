@@ -746,10 +746,15 @@ def _hex8_fold_sql(expr: str) -> str:
     )
 
 
-def q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+def mix_sample_df(docs: DataFrame, target: int = MIX_SAMPLE_TARGET) -> DataFrame:
+    """Library form over ANY frame carrying (doc_id, source, n_chars):
+    returns the kept rows with all original columns — the stage
+    ``jobs/curate_job.py --mix-target`` runs between dedup and tier
+    labeling. Same plan as the registered query (one tiny source
+    aggregate → broadcast thresholds → map-only integer keep filter)."""
     from pyspark.sql import Window
 
-    d = load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    d = docs.filter(F.col("n_chars") > 0)
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA))
     total = F.sum(w).over(Window.partitionBy())
@@ -757,7 +762,7 @@ def q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
     thr = counts.select(
         "source",
         F.least(
-            F.floor(F.lit(MIX_SAMPLE_TARGET) * w6 / F.col("n_docs")).cast("bigint"),
+            F.floor(F.lit(target) * w6 / F.col("n_docs")).cast("bigint"),
             F.lit(_MIX_HASH_M).cast("bigint"),
         ).alias("threshold"),
     )
@@ -768,11 +773,15 @@ def q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(_MIX_HASH_M),
     )
     return (
-        d.select("doc_id", "source")
-        .join(F.broadcast(thr), "source")
+        d.join(F.broadcast(thr), "source")
         .filter(h < F.col("threshold"))
-        .select("doc_id", "source")
+        .drop("threshold")
     )
+
+
+def q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return mix_sample_df(d, MIX_SAMPLE_TARGET).select("doc_id", "source")
 
 
 _MIX_HASH_SQL = _hex8_fold_sql("CAST(doc_id AS VARCHAR)") + f" % {_MIX_HASH_M}"

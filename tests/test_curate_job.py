@@ -24,6 +24,32 @@ def test_curate_job_parquet_end_to_end(spark, tmp_path):
         assert os.path.isdir(os.path.join(out, "tiered", f"tier={tier}", f"lang={lang}"))
 
 
+def test_curate_job_mix_target_stage(spark, tmp_path):
+    """--mix-target draws the temperature-weighted sample between dedup
+    and labeling: output shrinks to ~target, stays internally
+    consistent, and is a subset of the unmixed run's survivors."""
+    out_full = str(tmp_path / "full")
+    full = run(spark, "/root/testdata/sf0.001/documents.parquet", out_full)
+    out_mix = str(tmp_path / "mixed")
+    mixed = run(
+        spark,
+        "/root/testdata/sf0.001/documents.parquet",
+        out_mix,
+        mix_target=100,
+    )
+    assert 0 < mixed["rows_out"] < full["rows_out"]
+    assert 0.3 * 100 < mixed["rows_out"] < 1.7 * 100
+    assert sum(mixed["tiers"].values()) == mixed["rows_out"]
+    assert sum(mixed["shards"].values()) == mixed["rows_out"]
+    kept = {
+        r.doc_id for r in spark.read.parquet(out_mix + "/tiered").collect()
+    }
+    survivors = {
+        r.doc_id for r in spark.read.parquet(out_full + "/tiered").collect()
+    }
+    assert kept <= survivors
+
+
 def test_curate_job_wet_ingest(spark, tmp_path):
     wet = (
         "WARC/1.0\n"
