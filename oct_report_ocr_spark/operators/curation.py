@@ -1253,6 +1253,29 @@ FROM agg
 # --------------------------------------------------------------------------
 
 
+def _canon_url(c):
+    """Canonical form of a raw url Column: strip from the first ?/#,
+    lowercase ONLY the scheme+host group (paths are case-significant
+    per RFC 3986), trim trailing slashes. Twin of ``_canon_url_sql``;
+    cross-engine edge agreement pinned in tests/test_round3_tail.py."""
+    nofrag = F.regexp_replace(c, r"[?#].*$", "")
+    host = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z]+://[^/]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/]+(/.*)?$", 1), r"/+$", ""
+    )
+    return F.concat_ws("", host, path)
+
+
+def _canon_url_sql(expr: str) -> str:
+    return (
+        f"lower(regexp_extract(regexp_replace({expr}, '[?#].*$', ''),"
+        " '^([A-Za-z]+://[^/]+)', 1))"
+        " || regexp_replace("
+        f"regexp_extract(regexp_replace({expr}, '[?#].*$', ''),"
+        " '^[A-Za-z]+://[^/]+(/.*)?$', 1), '/+$', '')"
+    )
+
+
 def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Plant a tracking-variant capture for every doc_id % 5 == 1
     (uppercased scheme+host + ?utm_... + #fragment + trailing slash),
@@ -1282,10 +1305,7 @@ def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("raw_url"),
     )
     raw = base.unionByName(variant)
-    nofrag = F.regexp_replace(F.col("raw_url"), r"[?#].*$", "")
-    host = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z]+://[^/]+)", 1))
-    path = F.regexp_replace(F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/]+(/.*)?$", 1), r"/+$", "")
-    canon = F.concat_ws("", host, path)
+    canon = _canon_url(F.col("raw_url"))
     return (
         raw.select(canon.alias("canon_url"), "raw_url", "doc_id")
         .groupBy("canon_url")
@@ -1307,13 +1327,7 @@ WITH raw AS (
            || '/?utm_source=feed&utm_medium=rss#top' AS raw_url
   FROM documents WHERE n_chars > 0 AND doc_id % 5 = 1
 ), canon AS (
-  SELECT doc_id, raw_url,
-         lower(regexp_extract(regexp_replace(raw_url, '[?#].*$', ''),
-                              '^([A-Za-z]+://[^/]+)', 1))
-         || regexp_replace(
-              regexp_extract(regexp_replace(raw_url, '[?#].*$', ''),
-                             '^[A-Za-z]+://[^/]+(/.*)?$', 1),
-              '/+$', '') AS canon_url
+  SELECT doc_id, raw_url, {_canon_url_sql("raw_url")} AS canon_url
   FROM raw
 )
 SELECT canon_url, COUNT(*) AS n_captures,

@@ -260,6 +260,77 @@ def test_tokenizer_cross_engine_edge_strings(spark):
     assert got_spark == got_duck
 
 
+def test_norm_cross_engine_edge_strings(spark):
+    """_NORM / _NORM_SQL (the dedup-normalization twin feeding
+    dedup_normalized, incremental_dedup, and the Bloom contract) must
+    agree on inputs the corpus never produces: mixed case, digits,
+    punctuation runs, irregular whitespace, empty strings."""
+    import duckdb
+
+    from oct_report_ocr_spark.operators.curation import _NORM, _NORM_SQL
+
+    cases = [
+        "",
+        "   ",
+        "Hello, World!",
+        "a1 B2 c3",
+        "UPPER   lower",
+        "tabs\tand\nnewlines",
+        "!!!",
+        " trailing and leading ",
+        "digits 123 kept 456",
+        "dash-dot.slash/keep none",
+    ]
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "text"])
+    got_spark = {r.i: r.n for r in sdf.select("i", _NORM(F.col("text")).alias("n")).collect()}
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, ?)" for i in range(len(cases)))
+    got_duck = dict(
+        con.execute(
+            f"SELECT i, {_NORM_SQL} FROM (VALUES {values}) AS documents(i, text)",
+            cases,
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+
+
+def test_canon_url_cross_engine_edge_urls(spark):
+    """_canon_url / _canon_url_sql must agree on adversarial urls: only
+    scheme+host lowercased, query/fragment stripped at the FIRST ?/#,
+    trailing slash runs trimmed, schemeless and path-free forms."""
+    import duckdb
+
+    from oct_report_ocr_spark.operators.curation import _canon_url, _canon_url_sql
+
+    cases = [
+        "https://Example.COM/Path/To/Page",
+        "HTTPS://HOST/PATH?q=1#frag",
+        "http://host",
+        "http://host/",
+        "http://host////",
+        "http://host/a//b///",
+        "http://host/p?x=1?y=2",
+        "http://host/p#a#b",
+        "http://host/p#a?late=q",
+        "ftp://Mixed.Case/KeepCase",
+        "not a url at all",
+        "http://host/UPPER/path?utm_source=x",
+    ]
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "raw_url"])
+    got_spark = {
+        r.i: r.c for r in sdf.select("i", _canon_url(F.col("raw_url")).alias("c")).collect()
+    }
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, ?)" for i in range(len(cases)))
+    got_duck = dict(
+        con.execute(
+            f"SELECT i, {_canon_url_sql('raw_url')} FROM (VALUES {values}) AS t(i, raw_url)",
+            cases,
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+
+
 def test_minhash_incremental_consistent_with_lsh_pairs(spark):
     """A batch doc (doc_id % 10 == 0) is flagged iff the full LSH pair
     table contains a pair linking it to an index doc; matched_rep and
