@@ -215,13 +215,23 @@ def q_ann_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
     scored = joined.select(
         "vec_id", "centroid_id", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("cos")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", F.col("cos").alias("cos_to_centroid"))
+    # Argmin via ONE hash aggregate (VERDICT r03 item 2; the
+    # latest_capture argmax-per-key pattern, curation.py). All K
+    # candidate rows for a vector are produced map-side in the same
+    # task, so the partial combine reduces them there: the shuffle
+    # carries N best-so-far rows, not the N×K scored rows the previous
+    # Window.partitionBy("vec_id") row_number form shuffled AND sorted.
+    # cos is rounded to 6 dp, so round(cos*1e6) is an exact integer;
+    # packing (cos DESC, centroid_id ASC) into one BIGINT ordering key
+    # (centroid_id ∈ 1..IVF_K < 1024) keeps the aggregation buffer
+    # all-primitive — a true partial HashAggregate, where a struct
+    # ordering key would fall back to SortAggregate.
+    best_key = (
+        F.round(F.col("cos") * 1e6).cast("long") * F.lit(1024) - F.col("centroid_id")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("centroid_id", best_key).alias("centroid_id"),
+        F.max("cos").alias("cos_to_centroid"),
     )
 
 
@@ -543,17 +553,27 @@ def kmeans_train(
         scored = joined.select(
             "vec_id", "centroid_id", "v", (dot / (nv * nc)).alias("cos")
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cos").desc(), F.col("centroid_id")
+        # Same argmin-as-aggregate shape as q_ann_ivf_assign (VERDICT
+        # r03 item 2): the partial combine collapses each task's K
+        # candidates per vector before the exchange, so the shuffle
+        # carries N rows instead of N×K. cos is UNROUNDED here (the
+        # training loop keeps full precision), so the ordering key is a
+        # (cos, -centroid_id) struct — max over a struct buffer is a
+        # SortAggregate, but still map-side partial, which is where the
+        # K× shuffle-volume win lives. v is constant per vec_id, so
+        # first() is deterministic in value.
+        best = scored.groupBy("vec_id").agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("centroid_id")).alias("ncid"))
+            ).alias("best"),
+            F.first("v").alias("v"),
         )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "centroid_id", "v", "cos")
-            .localCheckpoint(eager=True)
-        )
+        assigned = best.select(
+            "vec_id",
+            (-F.col("best.ncid")).alias("centroid_id"),
+            "v",
+            F.col("best.cos").alias("cos"),
+        ).localCheckpoint(eager=True)
         distortions.append(
             float(assigned.agg(F.sum(F.lit(1.0) - F.col("cos"))).collect()[0][0])
         )

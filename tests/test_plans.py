@@ -159,6 +159,20 @@ def test_exchange_budget_no_regression(registry_plan_checks):
         assert c["n_exchanges"] <= budget[name], (name, c["n_exchanges"], budget[name])
 
 
+def test_ivf_argmin_is_aggregate_not_window(spark):
+    """VERDICT r03 item 2: the per-vector argmin over the K broadcast
+    centroids must be a map-side-combinable aggregate (max_by), never a
+    Window.partitionBy(vec_id) row_number — the Window form shuffles
+    AND sorts all N×K scored rows, while the aggregate's partial
+    combine ships N best-so-far rows. At 10⁹ vectors that is the
+    difference between a scan-shaped pass and a corpus×K sort."""
+    from oct_report_ocr_spark.operators.similarity import q_ann_ivf_assign
+
+    p = formatted(q_ann_ivf_assign(spark, SF_SMOKE))
+    assert "Window" not in p, p[:2000]
+    assert "partial_max_by" in p, p[:2000]
+
+
 def test_no_nested_loop_join_in_any_registered_query(spark, registry_plan_checks):
     """VERDICT r02 item 6: no registered query may contain a nested-loop
     (cartesian) join — the one O(n²) plan class that cannot survive
