@@ -34,61 +34,78 @@ from __future__ import annotations
 # Any query whose OUTPUT changes in r04 goes into the head that round
 # regardless (the ADVICE r02 rule).
 _GATE_PRIORITY = [
-    # never-green: -0.0 → +0.0 ladder fix lands this round
-    "logmar_ladder",
-    # new in round 3 (operators/curation.py)
-    "ngram_topk",
-    "decontaminate",
-    "dedup_normalized",
-    "pii_scrub",
-    "quality_filter",
-    "paragraph_dedup",
-    "quality_tiers",
-    "lang_rollup",
-    "latest_capture",
-    "quantile_sketch_check",
-    "dedup_components",
-    "dedup_survivors",
-    "mix_weights",
-    "context_pack",
-    "kmeans_step",
-    "shard_plan",
-    "tfidf_topterms",
-    "tier_extract",
-    "incremental_dedup",
-    "ann_ivf_multiprobe",
-    "minhash_estimate_check",
-    "host_rollup",
-    "url_canonical_dedup",
-    "host_blocklist_filter",
-    "cms_frequency_check",
-    "bloom_prefilter_check",
-    "ann_recall_check",
-    # green only in r01 — evidence now 2 rounds old, rotate back in
-    # (head above is now exactly the 50-row gate window; r02-green rows
-    # keep their standing evidence)
-    "dedup_exact",
-    "dedup_pipeline",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "minhash_lsh_pairs_capped",
-    "ngram_jaccard_adjacent",
-    "simhash",
-    "ann_cosine_bruteforce",
+    # r04 ROTATION (executes the plan written in r03; VERDICT r03 items
+    # 1+2).  The driver gates the FIRST 50 entries.  Head =
+    #   (a) the 8 never-driver-gated round-3 tail queries,
+    #   (b) the 5 IVF-family queries whose argmin code changed this
+    #       round (window row_number -> map-side max_by; outputs
+    #       bit-identical, re-proven by scripts/check_oracle.py, but
+    #       changed code must re-earn gate evidence — the ADVICE r02
+    #       rule applied to plan-changing edits too),
+    #   (c) the 37 stalest r02-green rows.
+    # The 12 r02-green rows left outside the window (filtered_scan,
+    # project_arith, in_list, distinct, case_decode, try_cast_json,
+    # date_parts, semi_join, anti_join, top_n_sort, union_renamed,
+    # histogram) are ALL from the frozen pure-relational block:
+    # r01+r02 double-green, zero code churn since r01, lowest
+    # re-divergence risk.  After r04 no gated query's newest green row
+    # is older than r02 (the item-1 Done criterion).
+    # r05 ROTATION PLAN (write it down now): head = those 12 frozen
+    # relational rows + the 38 stalest remaining r03-green rows
+    # (everything in CORRECTNESS_r03.json except the 12 r04-head
+    # members that were r03-green).  Any query whose output or plan
+    # changes in r05 joins the head regardless, displacing frozen
+    # relational rows first.
+    "rolling_stats",
+    "ntile_bins",
+    "snapshot_diff",
+    "bigram_assoc",
+    "minhash_incremental",
+    "shared_ngrams_intersect",
+    "removed_content_except",
+    "mix_sample",
     "ann_ivf_assign",
     "ann_ivf_probe",
-    "ann_lsh_bucket",
-    "ann_topk",
-    "embedding_near_dup",
-    "embedding_positional",
-    "device_cascade",
-    "fingerprint",
-    "lang_guess",
-    "quality_score",
-    "token_count",
-    "grouped_topk",
-    "length_percentiles",
-    "union_multibranch",
+    "ann_ivf_multiprobe",
+    "kmeans_step",
+    "ann_recall_check",
+    "like_chain_classifier",
+    "deterministic_sample",
+    "eav_pivot",
+    "dim_join_agg",
+    "filtered_self_join",
+    "interval_point_join",
+    "conditional_agg",
+    "group_stats",
+    "linreg",
+    "window_min",
+    "running_min",
+    "gaps_islands",
+    "laterality",
+    "token_repair",
+    "canonicalize",
+    "lsh_heavy_buckets",
+    "dedup_heavy_pass",
+    "dedup_pipeline_full",
+    "embedding_dedup_pipeline",
+    "doc_metadata",
+    "stratified_sample",
+    "audit_anchors",
+    "approx_distinct_check",
+    "map_decode",
+    "where_string",
+    "composite_key_join",
+    "union_then_join",
+    "null_safe_filter",
+    "medlat_quirk",
+    "spherical_equivalent",
+    "url_parts",
+    "explode_tokens",
+    "token_frequency",
+    "repetition_ratio",
+    "cohort_dag",
+    "session_window",
+    "asof_join",
 ]
 
 
