@@ -13,24 +13,146 @@ Stages (all lazy until the sinks; nothing collects corpus-sized data):
    ``operators.curation.mix_sample_df`` (p ∝ n^α per source;
    deterministic hash thresholds, broadcast, map-only filter);
 4. tier labeling — ``operators.curation.tier_label`` (map-only);
-5. sinks — hive-partitioned (tier, lang) corpus via
-   ``write_tiered_corpus`` (partition-pruned mixing reads) and the
-   dataloader shard layout via ``write_training_shards``.
+5. sinks — hive-partitioned (tier, lang) corpus (partition-pruned
+   mixing reads) and the dataloader shard layout
+   (pmod(xxhash64(doc_id), n) dirs, rows sorted within shard).
+
+**Resumability (D10, VERDICT r03 item 3)** — the same contract
+``jobs/extract_job.py`` gives extraction, applied to both curation
+sinks. The resume unit is the sink partition: a (tier, lang) cell for
+the tiered corpus, a shard id for the shard layout. A unit is
+*completed* only when its row appears in the append-only manifest
+(``<out>/_manifests/cells`` / ``<out>/_manifests/shards``), which is
+written strictly AFTER its data, from a re-read of the written files.
+Restart = filter completed units out of the labeled stream (map-only
+codegen — tier/shard membership is a pure per-row function) and
+dynamic-partition-overwrite the rest, so a unit left partial by a
+crash is rewritten whole: duplicates impossible, gaps impossible.
+Every upstream stage is a deterministic function of the immutable
+input (dedup survivor = min doc_id per fingerprint; mix thresholds =
+integer functions of full-corpus source counts), so the resumed rows
+are bit-identical to a single-shot run — pytest kills a run after K
+cells and proves the resumed output equals the uninterrupted one.
 
 Scale posture: stage 2 is the only corpus shuffle before the sinks'
 own layout shuffles; the survivor join runs on the same key as the
-groupBy so the exchange is reused. Metrics are one small JSON line
-(driver-side aggregates only).
+groupBy so the exchange is reused. The completed-unit filters run
+before the sink shuffles, so on resume the payload of completed cells
+is never shuffled again. Metrics are one small JSON line (driver-side
+aggregates only; manifests are O(cells + shards) rows).
 
 Reference anchor: generalizes the reference's per-batch fetch→clean→
 assemble loop (extract_onh_rnfl_report_text_ou.py:60-170) into a
-declarative curation DAG.
+declarative curation DAG, with the reference's CSV file-exists resume
+(extract_onh_rnfl_report_text_ou.py:64,308-310) made atomic.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_CELL_SEP = "/"
+
+
+def _cell_key() -> F.Column:
+    return F.concat_ws(_CELL_SEP, F.col("tier"), F.col("lang"))
+
+
+def completed_cells(spark: SparkSession, output: str) -> list[str]:
+    """(tier, lang) cells already committed to the cell manifest —
+    'tier/lang' keys, [] on a fresh sink."""
+    try:
+        m = spark.read.parquet(os.path.join(output, "_manifests", "cells"))
+    except Exception:  # noqa: BLE001 — first run: no manifest yet
+        return []
+    return [
+        f"{r.tier}{_CELL_SEP}{r.lang}"
+        for r in m.select("tier", "lang").distinct().collect()
+    ]
+
+
+def completed_shards(spark: SparkSession, output: str) -> list[int]:
+    try:
+        m = spark.read.parquet(os.path.join(output, "_manifests", "shards"))
+    except Exception:  # noqa: BLE001 — first run: no manifest yet
+        return []
+    return [r.shard for r in m.select("shard").distinct().collect()]
+
+
+def _write_tiered_resumable(
+    spark: SparkSession, labeled: DataFrame, output: str, done: list[str]
+) -> None:
+    """Tier-partitioned corpus sink with per-cell resume. Layout is
+    identical to ``sources.io.write_tiered_corpus`` (hive (tier, lang)
+    dirs, one writer task per cell); the manifest differs: append-only
+    under ``_manifests/cells``, one row per cell, committed after a
+    re-read of the written files (readability verified, not just write
+    success)."""
+    data_path = os.path.join(output, "tiered")
+    manifest_path = os.path.join(output, "_manifests", "cells")
+    pending = labeled
+    if done:
+        pending = pending.filter(~_cell_key().isin(done))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        pending.repartition("tier", "lang")
+        .write.mode("overwrite")
+        .partitionBy("tier", "lang")
+        .parquet(data_path)
+    )
+    written = spark.read.parquet(data_path)
+    if done:
+        written = written.filter(~_cell_key().isin(done))
+    (
+        written.groupBy("tier", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .write.mode("append")
+        .parquet(manifest_path)
+    )
+
+
+def _write_shards_resumable(
+    spark: SparkSession,
+    slim: DataFrame,
+    output: str,
+    done: list[int],
+    n_shards: int,
+) -> None:
+    """Shard-partitioned dataloader sink with per-shard resume. Same
+    layout and retry-stability contract as
+    ``sources.io.write_training_shards`` (shard = pmod(xxhash64(doc_id),
+    n), rows sorted by (shard, doc_id) within a shard); manifest is
+    append-only under ``_manifests/shards``."""
+    data_path = os.path.join(output, "shards")
+    manifest_path = os.path.join(output, "_manifests", "shards")
+    sharded = slim.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
+    )
+    if done:
+        sharded = sharded.filter(~F.col("shard").isin(done))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(data_path)
+    )
+    written = spark.read.parquet(data_path)
+    if done:
+        written = written.filter(~F.col("shard").isin(done))
+    (
+        written.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .write.mode("append")
+        .parquet(manifest_path)
+    )
 
 
 def run(
@@ -40,17 +162,22 @@ def run(
     n_shards: int = 8,
     input_format: str = "parquet",
     mix_target: int | None = None,
+    fresh: bool = False,
 ) -> dict:
     from oct_report_ocr_spark.operators.curation import (
         _NORM,
         mix_sample_df,
         tier_label,
     )
-    from oct_report_ocr_spark.sources.io import (
-        read_wet,
-        write_tiered_corpus,
-        write_training_shards,
-    )
+    from oct_report_ocr_spark.sources.io import read_wet
+
+    if fresh and os.path.isdir(output_path):
+        import shutil
+
+        shutil.rmtree(output_path)
+
+    done_cells = [] if fresh else completed_cells(spark, output_path)
+    done_shards = [] if fresh else completed_shards(spark, output_path)
 
     if input_format == "wet":
         wet = read_wet(spark, input_path)
@@ -84,20 +211,24 @@ def run(
     )
 
     # optional temperature-weighted mixing draw (p ∝ n^α per source;
-    # deterministic hash thresholds, no PRNG) between dedup and labeling
+    # deterministic hash thresholds, no PRNG) between dedup and labeling.
+    # Thresholds derive from FULL-corpus source counts, never from the
+    # resume-filtered remainder, so the kept set is restart-invariant.
     if mix_target is not None:
         deduped = mix_sample_df(deduped, mix_target)
 
     labeled = tier_label(deduped)
-    tier_manifest = write_tiered_corpus(labeled, output_path + "/tiered")
-    shard_manifest = write_training_shards(
+    _write_tiered_resumable(spark, labeled, output_path, done_cells)
+    _write_shards_resumable(
+        spark,
         labeled.select("doc_id", "lang", "tier", "n_words"),
-        output_path + "/shards",
-        n_shards=n_shards,
+        output_path,
+        done_shards,
+        n_shards,
     )
 
-    cells = tier_manifest.collect()
-    shards = shard_manifest.collect()
+    cells = spark.read.parquet(os.path.join(output_path, "_manifests", "cells")).collect()
+    shards = spark.read.parquet(os.path.join(output_path, "_manifests", "shards")).collect()
     n_out = sum(r.n_docs for r in cells)
     return {
         "rows_in": int(n_in),
@@ -105,6 +236,8 @@ def run(
         "removed": int(n_in) - int(n_out),
         "tiers": {f"{r.tier}/{r.lang}": int(r.n_docs) for r in cells},
         "shards": {int(r.shard): int(r.n_rows) for r in shards},
+        "resumed_cells_skipped": len(done_cells),
+        "resumed_shards_skipped": len(done_shards),
         "output": output_path,
     }
 
@@ -121,6 +254,7 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--format", default="parquet", choices=["parquet", "wet"])
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--fresh", action="store_true")
     ap.add_argument(
         "--mix-target",
         type=int,
@@ -140,6 +274,7 @@ def main() -> None:
                 args.shards,
                 args.format,
                 mix_target=args.mix_target,
+                fresh=args.fresh,
             )
         )
     )

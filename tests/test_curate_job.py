@@ -79,3 +79,93 @@ def test_curate_job_wet_ingest(spark, tmp_path):
     # 60+ stopword-bearing words -> high tier; "short text" -> low
     assert any(k.startswith("high/") for k in stats["tiers"])
     assert any(k.startswith("low/") for k in stats["tiers"])
+
+
+def _final_rows(spark, out):
+    tiered = {
+        (r.doc_id, r.tier, r.lang, r.n_words)
+        for r in spark.read.parquet(out + "/tiered").collect()
+    }
+    shards = {
+        (r.doc_id, r.shard)
+        for r in spark.read.parquet(out + "/shards").select("doc_id", "shard").collect()
+    }
+    return tiered, shards
+
+
+def test_curate_resume_after_simulated_crash(spark, tmp_path):
+    """Kill-after-K-cells semantics (D10, VERDICT r03 item 3): wipe 3
+    tier/lang cells' data + manifest rows plus 1 cell whose data was
+    written but whose manifest commit was lost, and 2 shards' data +
+    manifest rows plus 1 manifest-lost shard; rerun and require the
+    exact same final row sets — no dupes, no gaps — mirroring
+    test_extract_job.py::test_resume_after_simulated_crash."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated")
+    stats = run(spark, inp, out, fresh=True)
+    full_t, full_s = _final_rows(spark, out)
+
+    cells = sorted(stats["tiers"])
+    assert len(cells) >= 5
+    lost, uncommitted = cells[:3], cells[3]
+    for key in lost:
+        tier, lang = key.split("/")
+        shutil.rmtree(os.path.join(out, "tiered", f"tier={tier}", f"lang={lang}"))
+    cpath = os.path.join(out, "_manifests", "cells")
+    m = spark.read.parquet(cpath)
+    kept = m.filter(
+        ~F.concat_ws("/", "tier", "lang").isin(lost + [uncommitted])
+    ).collect()
+    shutil.rmtree(cpath)
+    spark.createDataFrame(kept, m.schema).write.parquet(cpath)
+
+    for s in (0, 1):
+        shutil.rmtree(os.path.join(out, "shards", f"shard={s}"))
+    spath = os.path.join(out, "_manifests", "shards")
+    sm = spark.read.parquet(spath)
+    skept = sm.filter(~F.col("shard").isin([0, 1, 2])).collect()
+    shutil.rmtree(spath)
+    spark.createDataFrame(skept, sm.schema).write.parquet(spath)
+
+    stats2 = run(spark, inp, out)
+    assert stats2["resumed_cells_skipped"] == len(cells) - 4
+    assert stats2["resumed_shards_skipped"] == 8 - 3
+    after_t, after_s = _final_rows(spark, out)
+    assert after_t == full_t
+    assert after_s == full_s
+    # metrics rebuilt from the append-only manifests agree exactly
+    assert stats2["tiers"] == stats["tiers"]
+    assert stats2["shards"] == stats["shards"]
+    assert stats2["rows_out"] == stats["rows_out"]
+
+
+def test_curate_resume_with_mix_target_is_restart_invariant(spark, tmp_path):
+    """The mixing thresholds derive from FULL-corpus source counts, so a
+    resumed mixed run keeps exactly the rows the uninterrupted run
+    kept."""
+    import shutil
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    ref = str(tmp_path / "ref")
+    full = run(spark, inp, ref, mix_target=100, fresh=True)
+    out = str(tmp_path / "resumed")
+    stats = run(spark, inp, out, mix_target=100, fresh=True)
+    # lose one committed cell entirely (data + manifest row)
+    victim = sorted(stats["tiers"])[0]
+    tier, lang = victim.split("/")
+    shutil.rmtree(os.path.join(out, "tiered", f"tier={tier}", f"lang={lang}"))
+    from pyspark.sql import functions as F
+
+    cpath = os.path.join(out, "_manifests", "cells")
+    m = spark.read.parquet(cpath)
+    kept = m.filter(F.concat_ws("/", "tier", "lang") != victim).collect()
+    shutil.rmtree(cpath)
+    spark.createDataFrame(kept, m.schema).write.parquet(cpath)
+
+    stats2 = run(spark, inp, out, mix_target=100)
+    assert stats2["tiers"] == full["tiers"]
+    assert _final_rows(spark, out) == _final_rows(spark, ref)
