@@ -7,11 +7,13 @@ For a training-data pipeline the same pattern covers image/audio/video:
 ``content: binary`` + a metadata struct, with decode / feature-extract /
 resize / frame-sample as Arrow-batched stages.
 
-The decode kernels themselves are STUBBED — the image/audio libraries
-are not in this container — behind ``DecodeUnavailable`` or a
-deterministic fake, but everything Spark-side is real and tested:
-schema, partitioning, mapInPandas signature, batch shape, error
-quarantine (D9 semantics).
+Decode kernels: BMP (24bpp BI_RGB), binary PPM (P6) and PNG (8-bit
+gray/RGB/RGBA, non-interlaced — pure stdlib zlib + full filter
+reconstruction incl. Paeth) are REAL; formats whose codec libraries
+are absent from this container (JPEG, audio, real video codecs) raise
+``DecodeUnavailable`` or use a deterministic fake. Everything
+Spark-side is real and tested either way: schema, partitioning,
+mapInPandas signature, batch shape, error quarantine (D9 semantics).
 """
 
 from __future__ import annotations
@@ -105,11 +107,137 @@ def _decode_ppm(b: bytes) -> tuple[int, int, float, float, float]:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+
+
+def _png_chunks(b: bytes) -> list[tuple[bytes, bytes]]:
+    """Parse the chunk stream, verifying each chunk's CRC32 (corruption
+    that zlib would otherwise silently tolerate lands in quarantine)."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise CorruptImage("png: bad magic")
+    chunks, off = [], 8
+    while off + 12 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, off)
+        tag = b[off + 4 : off + 8]
+        if off + 12 + ln > len(b):
+            raise CorruptImage("png: truncated chunk")
+        data = b[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, off + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise CorruptImage("png: chunk crc mismatch")
+        chunks.append((tag, data))
+        off += 12 + ln
+        if tag == b"IEND":
+            return chunks
+    raise CorruptImage("png: missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_raster(b: bytes):
+    """Real PNG decode, pure stdlib + numpy (VERDICT r03 item 4):
+    chunk/CRC parse → zlib inflate → scanline unfiltering (all five
+    filter types incl. Paeth) → (w, h, color_type, uint8 array of shape
+    (h, w, channels)). Supported: bit depth 8, color types 0/2/6
+    (grayscale / truecolor / truecolor+alpha), non-interlaced — the
+    shapes a crawl actually serves for decodable-without-a-codec PNGs;
+    palette/16-bit/Adam7 raise DecodeUnavailable (honest stub, same
+    contract as compressed formats). Filters 0/2 unfilter vectorized;
+    1/3/4 carry an intra-row byte dependency and run as per-scanline
+    Python — the quarantine-grade correctness kernel, O(pixels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    chunks = _png_chunks(b)
+    if not chunks or chunks[0][0] != b"IHDR" or len(chunks[0][1]) != 13:
+        raise CorruptImage("png: bad IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    if comp != 0 or filt != 0:
+        raise CorruptImage("png: bad compression/filter method")
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise DecodeUnavailable(
+            f"png: only 8-bit non-interlaced color type 0/2/6 supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise CorruptImage("png: implausible dimensions")
+    idat = b"".join(d for t, d in chunks if t == b"IDAT")
+    if not idat:
+        raise CorruptImage("png: no IDAT")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise CorruptImage(f"png: idat inflate failed ({e})") from e
+    bpp = _PNG_CHANNELS[color]
+    stride = w * bpp
+    if len(raw) != (stride + 1) * h:
+        raise CorruptImage("png: raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        )
+        if ftype == 0:  # None
+            rec = line.copy()
+        elif ftype == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256, per spec
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = bytearray(line.tobytes())
+            pv = prev
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (rec[x] + ((a + int(pv[x])) >> 1)) & 0xFF
+                else:
+                    c = int(pv[x - bpp]) if x >= bpp else 0
+                    rec[x] = (rec[x] + _paeth(a, int(pv[x]), c)) & 0xFF
+            rec = np.frombuffer(bytes(rec), dtype=np.uint8)
+        else:
+            raise CorruptImage(f"png: unknown filter type {ftype}")
+        out[y] = rec
+        prev = out[y]
+    return w, h, color, out.reshape(h, w, bpp)
+
+
+def _decode_png(b: bytes) -> tuple[int, int, float, float, float]:
+    """PNG → (width, height, mean RGB), same feature contract as the
+    BMP/PPM kernels. Grayscale replicates its mean across channels;
+    alpha is ignored."""
+    w, h, color, arr = _png_raster(b)
+    if color == 0:
+        m = float(arr.mean()) / 255.0
+        return w, h, m, m, m
+    means = arr[:, :, :3].mean(axis=(0, 1)) / 255.0
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
 def decode_image(content: bytes) -> tuple[int, int, float, float, float]:
-    """Real image decode (VERDICT r01 item 9): zero-external-dep kernels
-    for uncompressed BMP (24bpp BI_RGB) and binary PPM (P6) →
-    (width, height, mean_r, mean_g, mean_b). Compressed formats
-    (JPEG/PNG/…) still raise DecodeUnavailable — their codec libraries
+    """Real image decode (VERDICT r01 item 9; PNG added per VERDICT r03
+    item 4): zero-external-dep kernels for uncompressed BMP (24bpp
+    BI_RGB), binary PPM (P6) and PNG (8-bit gray/RGB/RGBA,
+    non-interlaced; zlib + full filter reconstruction incl. Paeth) →
+    (width, height, mean_r, mean_g, mean_b). Remaining compressed
+    formats (JPEG/…) raise DecodeUnavailable — their codec libraries
     are not in this container; the Spark-side plumbing treats both
     exceptions identically (fake-feature fallback vs quarantine is the
     caller's choice)."""
@@ -117,6 +245,8 @@ def decode_image(content: bytes) -> tuple[int, int, float, float, float]:
         return _decode_bmp(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
+    if content[:8] == _PNG_MAGIC:
+        return _decode_png(content)
     raise DecodeUnavailable("image codec libraries not present in this environment")
 
 
@@ -212,6 +342,11 @@ def _decode_rgb_array(b: bytes):
         ).reshape(h, stride)
         # bottom-up rows, BGR channel order → top-down RGB
         return rows[::-1, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+    if b[:8] == _PNG_MAGIC:
+        _, _, color, arr = _png_raster(b)
+        if color == 0:  # grayscale → replicate to RGB
+            return np.repeat(arr, 3, axis=2)
+        return arr[:, :, :3]  # RGBA drops alpha
     raise DecodeUnavailable("image codec libraries not present in this environment")
 
 
@@ -397,6 +532,63 @@ def make_ppm(w: int, h: int, seed: int = 0) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + pix
 
 
+def make_png(
+    w: int,
+    h: int,
+    seed: int = 0,
+    color_type: int = 2,
+    row_filters: str | int = "mixed",
+) -> bytes:
+    """Deterministic PNG encoder for tests: applies a real per-row
+    filter before deflate (``row_filters="mixed"`` cycles all five
+    types, exercising every unfilter branch incl. Paeth; an int pins
+    one type). Pixel x of the raster is (seed + x) % 256, so decoded
+    output has a closed-form ground truth independent of the filter."""
+    import struct
+    import zlib
+
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raster = bytes((seed + i) % 256 for i in range(stride * h))
+    prev = bytes(stride)
+    scanlines = bytearray()
+    for y in range(h):
+        row = raster[y * stride : (y + 1) * stride]
+        f = (y % 5) if row_filters == "mixed" else int(row_filters)
+        scanlines.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:  # Sub
+                v = (row[x] - a) & 0xFF
+            elif f == 2:  # Up
+                v = (row[x] - prev[x]) & 0xFF
+            elif f == 3:  # Average
+                v = (row[x] - ((a + prev[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                c = prev[x - bpp] if x >= bpp else 0
+                v = (row[x] - _paeth(a, prev[x], c)) & 0xFF
+            scanlines.append(v)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def synth_media(spark, n: int = 64):
     """Deterministic fake media table for tests (binary payload sizes
     deliberately skewed, one empty payload per 16). Every 5th image row
@@ -413,11 +605,8 @@ def synth_media(spark, n: int = 64):
             if i % 13 == 0:
                 payload = b"BM" + payload[:40]  # corrupt: truncated header
             elif i % 5 == 0:
-                payload = (
-                    make_bmp(8 + i % 16, 4 + i % 8, seed=i)
-                    if i % 2
-                    else make_ppm(8 + i % 16, 4 + i % 8, seed=i)
-                )
+                maker = (make_bmp, make_ppm, make_png)[(i // 15) % 3]
+                payload = maker(8 + i % 16, 4 + i % 8, seed=i)
         if i % 16 and i % 3 == 2:  # kind == "video" rows
             if i % 13 == 0:
                 # corrupt: claims FV01 but frame data truncated

@@ -44,7 +44,10 @@ def test_multimodal_real_decode_in_distributed_path(spark):
             corrupt += 1
         elif i % 5 == 0:
             w, h = 8 + i % 16, 4 + i % 8
-            payload = multimodal.make_bmp(w, h, seed=i) if i % 2 else multimodal.make_ppm(w, h, seed=i)
+            maker = (multimodal.make_bmp, multimodal.make_ppm, multimodal.make_png)[
+                (i // 15) % 3
+            ]
+            payload = maker(w, h, seed=i)
             want = multimodal.image_feature(payload)
             # array<float> is float32 — compare at float32 precision
             assert abs(r.feature[0] - w) < 1e-3 and abs(r.feature[1] - h) < 1e-3
@@ -97,12 +100,13 @@ def test_resize_distributed_with_quarantine(spark):
             assert r.decode_error is None
             assert (r.src_width, r.src_height) == (8 + i % 16, 4 + i % 8)
             assert (r.width, r.height) == (4, 4)
+            maker = (
+                multimodal.make_bmp,
+                multimodal.make_ppm,
+                multimodal.make_png,
+            )[(i // 15) % 3]
             want = multimodal.resize_image(
-                multimodal.make_bmp(8 + i % 16, 4 + i % 8, seed=i)
-                if i % 2
-                else multimodal.make_ppm(8 + i % 16, 4 + i % 8, seed=i),
-                4,
-                4,
+                maker(8 + i % 16, 4 + i % 8, seed=i), 4, 4
             )
             assert bytes(r.resized) == want
             real += 1
