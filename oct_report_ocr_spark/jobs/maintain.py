@@ -89,6 +89,15 @@ def vacuum_orphans(
     present in the sink's data but absent from the manifest. Returns
     the orphan bucket ids. Only the orphan id list — never row data —
     reaches the driver."""
+    # deletion below is driver-local (os/shutil); on a remote sink URI
+    # it would silently delete nothing while still returning the orphan
+    # list as if vacuumed (ADVICE r03) — refuse loudly, and before the
+    # audit so the caller sees THIS error, not a filesystem one
+    if apply and "://" in output and not output.startswith("file:"):
+        raise NotImplementedError(
+            f"vacuum_orphans apply=True only supports local paths; got "
+            f"{output!r} — use the Hadoop FileSystem API for remote sinks"
+        )
     report = audit_sink(spark, output)
     orphans = [
         r.bucket for r in report.filter(F.col("status") == "orphan").collect()

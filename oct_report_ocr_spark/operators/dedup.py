@@ -714,8 +714,11 @@ def components_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     try:
         labels = _cc_loop(spark, edges)
     finally:
+        # unpersist inside the finally (ADVICE r03): a CC_MAX_ROUNDS
+        # non-convergence raise must not leak the persisted edge list
+        # into executor storage for the session's lifetime
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    edges.unpersist()
+        edges.unpersist()
     w = Window.partitionBy("component_id")
     return labels.select("doc_id", F.col("label").alias("component_id")).withColumn(
         "n_members", F.count(F.lit(1)).over(w)

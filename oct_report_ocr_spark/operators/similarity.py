@@ -663,7 +663,16 @@ QUERIES: dict = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_bucket": (q_ann_lsh_bucket, SQL_ANN_LSH_BUCKET),
     "embedding_positional": (q_embedding_positional, SQL_EMBEDDING_POSITIONAL),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    # the registry entry is BY DEFINITION an oracle context (the driver
+    # runs the DuckDB twin beside it, and DuckDB's own all-pairs join
+    # would be the first to die at production scale), so it bypasses
+    # the library guard (ADVICE r03: a gated query must never hard-fail
+    # on construction); direct library callers keep the
+    # BASELINE_MAX_VECTORS refusal.
+    "embedding_near_dup": (
+        lambda spark, sf: q_embedding_near_dup(spark, sf, allow_large=True),
+        SQL_EMBEDDING_NEAR_DUP,
+    ),
     "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
     "embedding_dedup_pipeline": (q_embedding_dedup_pipeline, SQL_EMBEDDING_DEDUP_PIPELINE),
 }

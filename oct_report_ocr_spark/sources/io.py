@@ -270,7 +270,15 @@ def write_wet(df: DataFrame, path: str) -> None:
         F.lit("WARC/1.0\nWARC-Type: conversion\nWARC-Target-URI: "),
         F.col("url"),
         F.lit("\nWARC-Date: "),
-        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        # render the instant's UTC wall time regardless of the session
+        # timezone (ADVICE r03): date_format renders in the session tz,
+        # so shift the instant by (session tz → UTC) first — under a
+        # UTC session this is the identity, under any other session the
+        # appended literal 'Z' stays truthful.
+        F.date_format(
+            F.to_utc_timestamp("warc_ts", F.current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ),
         F.lit("\n\n"),
         F.col("text"),
     )

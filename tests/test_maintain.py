@@ -50,3 +50,12 @@ def test_audit_clean_then_faults_then_vacuum(spark, tmp_path):
     assert not os.path.isdir(os.path.join(data, "bucket=99"))
     rep = {r.bucket: r.status for r in audit_sink(spark, out).collect()}
     assert 99 not in rep and rep[b_keep] == "ok"
+
+
+def test_vacuum_refuses_remote_sink_uri(spark):
+    """apply=True deletion is driver-local; on a remote URI it must
+    refuse loudly instead of silently deleting nothing (ADVICE r03)."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="local paths"):
+        vacuum_orphans(spark, "s3a://bucket/sink", apply=True)

@@ -319,3 +319,30 @@ def test_read_wet_gzip(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].url == "https://example.com/z"
     assert rows[0].text.rstrip("\n") == "gzipped body"
+
+
+def test_write_wet_utc_under_non_utc_session(spark, tmp_path):
+    """WARC-Date carries a literal 'Z', so the rendered wall time must
+    be UTC regardless of spark.sql.session.timeZone (ADVICE r03)."""
+    df = spark.createDataFrame(
+        [("https://example.com/tz", "2024-06-01 07:08:09", "tz body")],
+        "url string, ts string, text string",
+    ).select("url", F.to_timestamp("ts").alias("warc_ts"), "text")
+    # warc_ts above is the instant 2024-06-01T07:08:09 UTC (session tz
+    # is pinned UTC at parse time); now render under a shifted session
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    out = tmp_path / "wet_tz"
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        src_io.write_wet(df, str(out))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    raw = "".join(
+        open(os.path.join(str(out), f)).read()
+        for f in sorted(os.listdir(str(out)))
+        if f.startswith("part-")
+    )
+    assert "WARC-Date: 2024-06-01T07:08:09Z" in raw, raw
+    # and the round-trip read recovers the same instant
+    back = src_io.read_wet(spark, str(out)).collect()[0]
+    assert str(back.warc_ts) == "2024-06-01 07:08:09"
