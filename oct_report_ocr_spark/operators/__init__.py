@@ -43,17 +43,17 @@ _GATE_PRIORITY = [
     #       changed code must re-earn gate evidence — the ADVICE r02
     #       rule applied to plan-changing edits too),
     #   (c) the 37 stalest r02-green rows.
-    # The 12 r02-green rows left outside the window (filtered_scan,
+    # The 13 r02-green rows left outside the window (filtered_scan,
     # project_arith, in_list, distinct, case_decode, try_cast_json,
     # date_parts, semi_join, anti_join, top_n_sort, union_renamed,
-    # histogram) are ALL from the frozen pure-relational block:
+    # histogram, linreg) are ALL from the frozen pure-relational block:
     # r01+r02 double-green, zero code churn since r01, lowest
     # re-divergence risk.  After r04 no gated query's newest green row
     # is older than r02 (the item-1 Done criterion).
-    # r05 ROTATION PLAN (write it down now): head = those 12 frozen
-    # relational rows + the 38 stalest remaining r03-green rows
-    # (everything in CORRECTNESS_r03.json except the 12 r04-head
-    # members that were r03-green).  Any query whose output or plan
+    # r05 ROTATION PLAN (write it down now): head = those 13 frozen
+    # relational rows + the 37 stalest remaining r03-green rows
+    # (everything in CORRECTNESS_r03.json except the r04-head members
+    # that were r03-green).  Any query whose output or plan
     # changes in r05 joins the head regardless, displacing frozen
     # relational rows first.
     "rolling_stats",
@@ -69,6 +69,9 @@ _GATE_PRIORITY = [
     "ann_ivf_multiprobe",
     "kmeans_step",
     "ann_recall_check",
+    # new in r04: the kmeans_train convergence twin (displaces one more
+    # frozen relational row, linreg, from the window)
+    "kmeans_converge",
     "like_chain_classifier",
     "deterministic_sample",
     "eav_pivot",
@@ -77,7 +80,6 @@ _GATE_PRIORITY = [
     "interval_point_join",
     "conditional_agg",
     "group_stats",
-    "linreg",
     "window_min",
     "running_min",
     "gaps_islands",

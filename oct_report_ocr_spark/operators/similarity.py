@@ -211,27 +211,37 @@ def q_ann_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
         vecs.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K))
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
     )
+    return _assign6(vecs, cents).select(
+        "vec_id", "centroid_id", F.col("cos").alias("cos_to_centroid")
+    )
+
+
+def _assign6(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Broadcast-K nearest-centroid assignment at 6-dp rounded cosine:
+    (vec_id, centroid_id, cos), ties to the lowest centroid id. Shared
+    by the IVF assignment and the k-means convergence twin.
+
+    Argmin via ONE hash aggregate (VERDICT r03 item 2; the
+    latest_capture argmax-per-key pattern, curation.py). All K
+    candidate rows for a vector are produced map-side in the same
+    task, so the partial combine reduces them there: the shuffle
+    carries N best-so-far rows, not the N×K scored rows the previous
+    Window.partitionBy("vec_id") row_number form shuffled AND sorted.
+    cos is rounded to 6 dp, so round(cos*1e6) is an exact integer;
+    packing (cos DESC, centroid_id ASC) into one BIGINT ordering key
+    (centroid_id ∈ 1..IVF_K < 1024) keeps the aggregation buffer
+    all-primitive — a true partial HashAggregate, where a struct
+    ordering key would fall back to SortAggregate."""
     joined = vecs.crossJoin(F.broadcast(cents))
     scored = joined.select(
         "vec_id", "centroid_id", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("cos")
     )
-    # Argmin via ONE hash aggregate (VERDICT r03 item 2; the
-    # latest_capture argmax-per-key pattern, curation.py). All K
-    # candidate rows for a vector are produced map-side in the same
-    # task, so the partial combine reduces them there: the shuffle
-    # carries N best-so-far rows, not the N×K scored rows the previous
-    # Window.partitionBy("vec_id") row_number form shuffled AND sorted.
-    # cos is rounded to 6 dp, so round(cos*1e6) is an exact integer;
-    # packing (cos DESC, centroid_id ASC) into one BIGINT ordering key
-    # (centroid_id ∈ 1..IVF_K < 1024) keeps the aggregation buffer
-    # all-primitive — a true partial HashAggregate, where a struct
-    # ordering key would fall back to SortAggregate.
     best_key = (
         F.round(F.col("cos") * 1e6).cast("long") * F.lit(1024) - F.col("centroid_id")
     )
     return scored.groupBy("vec_id").agg(
         F.max_by("centroid_id", best_key).alias("centroid_id"),
-        F.max("cos").alias("cos_to_centroid"),
+        F.max("cos").alias("cos"),
     )
 
 
@@ -509,6 +519,93 @@ FROM flat GROUP BY centroid_id, pos
 """
 
 
+def q_kmeans_converge(spark: SparkSession, sf: str) -> DataFrame:
+    """Two full Lloyd iterations in ONE declarative plan — the
+    oracle-paired twin of ``kmeans_train``'s convergence contract
+    (VERDICT r03 item 8): where ``kmeans_step`` pins iteration 1's
+    centroid means, this pins the corpus distortion AFTER iteration 1
+    (seed centroids = vec_id 1..K) and AFTER iteration 2 (centroids =
+    iteration 1's per-dimension means), so the driver gate witnesses
+    the distortion DECREASE the library loop promises.
+
+    Output: (iter, distortion_u6) — distortion as the exact integer
+    sum of round((1 - cos6) * 1e6) per vector, the mix_weights integer
+    discipline: every comparison and sum happens on integers, so
+    cross-engine float-sum ordering cannot move the hash.
+
+    Scale shape: two broadcast-K assignment aggregates (the _assign6
+    map-side-combine argmin), one (centroid, dim) hash aggregate for
+    the means (K×DIM partials per task), and one K-row rollup of the
+    means into centroid arrays — every shuffle is either N best-so-far
+    rows or K×DIM partials; nothing corpus-sized is ever sorted."""
+    e = load(spark, sf, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    c1 = vecs.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= IVF_K)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    a1 = _assign6(vecs, c1)
+    means = (
+        vecs.join(a1.select("vec_id", "centroid_id"), "vec_id")
+        .select("centroid_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("centroid_id", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+    )
+    c2 = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("cv")
+    )
+    a2 = _assign6(vecs, c2)
+
+    def distortion(assigned: DataFrame, it: int) -> DataFrame:
+        u6 = F.round((F.lit(1.0) - F.col("cos")) * 1e6).cast("long")
+        return assigned.agg(F.sum(u6).alias("distortion_u6")).select(
+            F.lit(it).cast("long").alias("iter"), "distortion_u6"
+        )
+
+    return distortion(a1, 1).unionAll(distortion(a2, 2))
+
+
+_ASSIGN_SQL = """
+  SELECT vec_id, centroid_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+    FROM {scored}
+  ) WHERE rn = 1
+"""
+
+SQL_KMEANS_CONVERGE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c1 AS (SELECT vec_id AS centroid_id, v AS cv FROM v WHERE vec_id BETWEEN 1 AND {IVF_K}),
+s1 AS (
+  SELECT v.vec_id, c.centroid_id,
+         ROUND({_DOT_SQL.format(a="v.v", b="c.cv")}
+               / ({_NORM_SQL.format(v="v.v")} * {_NORM_SQL.format(v="c.cv")}), 6) AS cos
+  FROM v CROSS JOIN c1 c
+), a1 AS ({_ASSIGN_SQL.format(scored="s1")}),
+m1 AS (
+  SELECT a.centroid_id, p.i AS pos, ROUND(AVG(v.v[p.i + 1]), 6) AS mean_val
+  FROM a1 a JOIN v ON v.vec_id = a.vec_id,
+       (SELECT unnest(range(0, len(v.v))) AS i) p
+  GROUP BY a.centroid_id, p.i
+), c2 AS (
+  SELECT centroid_id, list(mean_val ORDER BY pos) AS cv FROM m1 GROUP BY centroid_id
+), s2 AS (
+  SELECT v.vec_id, c.centroid_id,
+         ROUND({_DOT_SQL.format(a="v.v", b="c.cv")}
+               / ({_NORM_SQL.format(v="v.v")} * {_NORM_SQL.format(v="c.cv")}), 6) AS cos
+  FROM v CROSS JOIN c2 c
+), a2 AS ({_ASSIGN_SQL.format(scored="s2")})
+SELECT CAST(1 AS BIGINT) AS iter,
+       CAST(SUM(CAST(ROUND((1 - cos) * 1000000, 0) AS BIGINT)) AS BIGINT) AS distortion_u6
+FROM a1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS iter,
+       CAST(SUM(CAST(ROUND((1 - cos) * 1000000, 0) AS BIGINT)) AS BIGINT) AS distortion_u6
+FROM a2
+"""
+
+
 def kmeans_train(
     spark: SparkSession, sf: str, iters: int = 5
 ) -> tuple[dict, list]:
@@ -658,6 +755,7 @@ QUERIES: dict = {
     "ann_cosine_bruteforce": (q_ann_cosine_bruteforce, SQL_ANN_COSINE),
     "ann_recall_check": (q_ann_recall_check, SQL_ANN_RECALL_CHECK),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
+    "kmeans_converge": (q_kmeans_converge, SQL_KMEANS_CONVERGE),
     "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, SQL_ANN_IVF_MULTIPROBE),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),

@@ -192,7 +192,9 @@ def test_no_nested_loop_join_in_any_registered_query(spark, registry_plan_checks
     # their bounded query-vector BNLJs (and nothing else — its own joins
     # are 10-row broadcasts). bigram_assoc broadcasts the ONE-row corpus
     # token total, same bounded class as tfidf_topterms' doc count.
-    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "ann_ivf_multiprobe", "kmeans_step", "tfidf_topterms", "ann_recall_check", "bigram_assoc"}
+    # kmeans_converge carries the same bounded broadcast-K assignment
+    # BNLJs as the IVF family (two Lloyd iterations = two assigns).
+    BOUNDED_BROADCAST_OK = {"ann_cosine_bruteforce", "ann_topk", "ann_ivf_assign", "ann_ivf_probe", "ann_ivf_multiprobe", "kmeans_step", "kmeans_converge", "tfidf_topterms", "ann_recall_check", "bigram_assoc"}
     for name, c in registry_plan_checks.items():
         if name in BASELINE_EXEMPT:
             continue
