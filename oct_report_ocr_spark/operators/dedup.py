@@ -671,17 +671,49 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     Output: (doc_id, component_id, n_members) for every doc in the dup
     graph; component_id is the component's min doc_id.
     """
+    return components_from_pairs(spark, dup_pairs(spark, sf))
+
+
+def dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The recall-complete verified duplicate-pair graph (capped-LSH ∪
+    heavy-bucket pairs) q_dedup_components closes over — exposed so the
+    scale harness (scripts/scale_components.py) can time pair
+    construction and the BSP loop separately."""
     capped = _verify_pairs(spark, sf, q_minhash_lsh_pairs_capped(spark, sf))
     heavy = q_dedup_heavy_pass(spark, sf)
-    pairs = (
+    return (
         capped.select("doc_a", "doc_b")
         .unionAll(heavy.select("doc_a", "doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return components_from_pairs(spark, pairs)
 
 
-def components_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+def _shuffle_totals(spark: SparkSession) -> tuple[int, int] | None:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    completed stages, via the UI REST status store. None when the UI is
+    disabled (the default session) — callers treat stats as optional."""
+    try:
+        sc = spark.sparkContext
+        base = sc.uiWebUrl
+        if not base:
+            return None
+        import json as _json
+        import urllib.request
+
+        url = f"{base}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = _json.load(r)
+        return (
+            sum(s.get("shuffleReadBytes", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        )
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return None
+
+
+def components_from_pairs(
+    spark: SparkSession, pairs: DataFrame, stats: list | None = None
+) -> DataFrame:
     """The BSP kernel behind ``q_dedup_components``, reusable for any
     undirected (doc_a, doc_b) pair set (see the query docstring for the
     algorithm). Exposed separately so tests can drive it with synthetic
@@ -711,8 +743,10 @@ def components_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     parts = int(max(1, min(n_edges // 500_000 + 1, 4096)))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    if stats is not None:
+        stats.append({"n_edges": int(n_edges), "shuffle_partitions": parts})
     try:
-        labels = _cc_loop(spark, edges)
+        labels = _cc_loop(spark, edges, stats=stats)
     finally:
         # unpersist inside the finally (ADVICE r03): a CC_MAX_ROUNDS
         # non-convergence raise must not leak the persisted edge list
@@ -725,11 +759,19 @@ def components_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     )
 
 
-def _cc_loop(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def _cc_loop(
+    spark: SparkSession, edges: DataFrame, stats: list | None = None
+) -> DataFrame:
     """The eager min-label-propagation + pointer-jumping rounds (see
     ``components_from_pairs``); every round is materialized via
     localCheckpoint, so the caller's scoped shuffle-partition setting
-    governs all of its jobs."""
+    governs all of its jobs. ``stats`` (optional) collects per-round
+    wall time and — when the session runs with spark.ui.enabled=true —
+    per-round shuffle-byte deltas, for the scale-behavior evidence
+    (VERDICT r03 item 6); the default UI-less session records times
+    only."""
+    import time as _time
+
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -737,7 +779,9 @@ def _cc_loop(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev = object()
-    for _ in range(CC_MAX_ROUNDS):
+    for _round in range(CC_MAX_ROUNDS):
+        t0 = _time.monotonic()
+        s0 = _shuffle_totals(spark) if stats is not None else None
         prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
             F.col("dst").alias("doc_id"), "label"
         )
@@ -757,6 +801,18 @@ def _cc_loop(spark: SparkSession, edges: DataFrame) -> DataFrame:
         metric = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
+        if stats is not None:
+            s1 = _shuffle_totals(spark)
+            stats.append(
+                {
+                    "round": _round + 1,
+                    "seconds": round(_time.monotonic() - t0, 3),
+                    "shuffle_read_bytes": (s1[0] - s0[0]) if s0 and s1 else None,
+                    "shuffle_write_bytes": (s1[1] - s0[1]) if s0 and s1 else None,
+                    "label_sum": str(metric),
+                    "converged": metric == prev,
+                }
+            )
         if metric == prev:
             break
         prev = metric
