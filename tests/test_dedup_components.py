@@ -87,17 +87,42 @@ def test_survivors_complement_cluster_losers(spark):
     assert any(got.values()) and not all(got.values())
 
 
-def test_kernel_deep_chain_needs_pointer_jumping(spark):
-    """A 100-node path graph has diameter 99 > CC_MAX_ROUNDS: plain
-    min-label propagation cannot converge inside the round budget, so
-    this passing proves the pointer-jumping step works."""
-    n = 100
+def test_kernel_deep_chain_converges_log_rounds(spark):
+    """A 500-node path graph has diameter 499 >> CC_MAX_ROUNDS: plain
+    min propagation cannot converge inside the round budget, so this
+    passing proves the star iterations contract super-linearly."""
+    n = 500
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a: long, doc_b: long"
     )
     rows = dedup.components_from_pairs(spark, pairs).collect()
     assert len(rows) == n
     assert all(r.component_id == 0 and r.n_members == n for r in rows)
+
+
+def test_kernel_descending_id_path_regression(spark):
+    """Round-4 regression (found by the 16×-scale run, VERDICT r03 item
+    6): on a path whose node ids DESCEND along the propagation
+    direction — the heavy-pass sorted neighborhood emits exactly this
+    when a template family's secondary order anti-correlates with
+    doc_id — the old min-label + pointer-jumping loop degenerated to
+    O(diameter) rounds (a 212-node ring in the sf1.6 corpus crawled 2
+    nodes/round past CC_MAX_ROUNDS). The alternating large-star/
+    small-star kernel must converge well inside the budget, in ~log₂ n
+    iterations."""
+    n = 2000
+    # ids descending along the path, plus skip-2 links and a ring
+    # closure — the sf1.6 structure, scaled up
+    edges = [(n - i, n - i - 1) for i in range(n - 1)]
+    edges += [(n - i, n - i - 2) for i in range(n - 2)]
+    edges += [(n, 1)]
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    stats: list = []
+    rows = dedup.components_from_pairs(spark, pairs, stats=stats).collect()
+    assert len(rows) == n
+    assert all(r.component_id == 1 and r.n_members == n for r in rows)
+    rounds = len([s for s in stats if "round" in s])
+    assert rounds <= 16, f"star loop took {rounds} rounds on a 2000-node ring"
 
 
 def test_kernel_matches_union_find_on_random_graph(spark):
