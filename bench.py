@@ -516,11 +516,22 @@ def main() -> None:
                     # four idle 16 GB heaps measurably stall this host's
                     # memory subsystem (GC scan + page-commit pressure)
                     env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": f"{max(4, cores // 2)}g"}
+                    # salted runs use a finer bucket count (r04 profile:
+                    # 160+40 partitions beat 64+16 by ~10% at 32 cores and
+                    # were neutral at 8 — finer reduce tasks smooth
+                    # page-size skew in the Python stage; same job at both
+                    # levels, so the comparison stays valid)
+                    nb = (
+                        os.environ.get("SPARK_GRAFT_SALTED_BUCKETS", "160")
+                        if mode == "salted"
+                        else "64"
+                    )
                     out = subprocess.run(
                         [
                             *pin, sys.executable, __file__, "--cores", str(cores),
                             "--extract-only", "--bench-sf", str(scaling_sf),
                             "--repeats", "3", "--mode", mode,
+                            "--buckets", nb,
                             "--corpus-path", corpus_shm,
                         ],
                         capture_output=True, text=True, check=True, cwd=REPO, env=env,
