@@ -7,10 +7,12 @@ For a training-data pipeline the same pattern covers image/audio/video:
 ``content: binary`` + a metadata struct, with decode / feature-extract /
 resize / frame-sample as Arrow-batched stages.
 
-Decode kernels: BMP (24bpp BI_RGB), binary PPM (P6) and PNG (8-bit
+Decode kernels: BMP (24bpp BI_RGB), binary PPM (P6), PNG (8-bit
 gray/RGB/RGBA, non-interlaced — pure stdlib zlib + full filter
-reconstruction incl. Paeth) are REAL; formats whose codec libraries
-are absent from this container (JPEG, audio, real video codecs) raise
+reconstruction incl. Paeth) and baseline JPEG (SOF0, 8-bit,
+gray/4:4:4/4:2:2/4:2:0, restart markers — sources/jpeg.py, stdlib +
+numpy) are REAL; formats whose codecs are genuinely absent from this
+container (progressive JPEG, WebP, audio, real video codecs) raise
 ``DecodeUnavailable`` or use a deterministic fake. Everything
 Spark-side is real and tested either way: schema, partitioning,
 mapInPandas signature, batch shape, error quarantine (D9 semantics).
@@ -231,15 +233,34 @@ def _decode_png(b: bytes) -> tuple[int, int, float, float, float]:
     return w, h, float(means[0]), float(means[1]), float(means[2])
 
 
+def _decode_jpeg_means(b: bytes) -> tuple[int, int, float, float, float]:
+    """Baseline JPEG → (width, height, mean RGB), same feature contract
+    as the other kernels; error classes mapped to the shared
+    quarantine/unavailable taxonomy."""
+    from oct_report_ocr_spark.sources import jpeg as _jpeg
+
+    try:
+        arr = _jpeg.decode_jpeg(b)
+    except _jpeg.JpegUnsupported as e:
+        raise DecodeUnavailable(str(e)) from e
+    except _jpeg.JpegError as e:
+        raise CorruptImage(str(e)) from e
+    h, w = arr.shape[0], arr.shape[1]
+    means = arr.mean(axis=(0, 1)) / 255.0
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
 def decode_image(content: bytes) -> tuple[int, int, float, float, float]:
-    """Real image decode (VERDICT r01 item 9; PNG added per VERDICT r03
-    item 4): zero-external-dep kernels for uncompressed BMP (24bpp
-    BI_RGB), binary PPM (P6) and PNG (8-bit gray/RGB/RGBA,
-    non-interlaced; zlib + full filter reconstruction incl. Paeth) →
-    (width, height, mean_r, mean_g, mean_b). Remaining compressed
-    formats (JPEG/…) raise DecodeUnavailable — their codec libraries
-    are not in this container; the Spark-side plumbing treats both
-    exceptions identically (fake-feature fallback vs quarantine is the
+    """Real image decode (VERDICT r01 item 9; PNG + baseline JPEG added
+    per VERDICT r03 items 3/4): zero-external-dep kernels for
+    uncompressed BMP (24bpp BI_RGB), binary PPM (P6), PNG (8-bit
+    gray/RGB/RGBA, non-interlaced; zlib + full filter reconstruction
+    incl. Paeth) and baseline JPEG (SOF0, 8-bit, gray/4:4:4/4:2:2/
+    4:2:0, restart markers; sources/jpeg.py) →
+    (width, height, mean_r, mean_g, mean_b). Remaining formats
+    (progressive JPEG, WebP, audio/video codecs) raise
+    DecodeUnavailable; the Spark-side plumbing treats both exception
+    classes identically (fake-feature fallback vs quarantine is the
     caller's choice)."""
     if content[:2] == b"BM":
         return _decode_bmp(content)
@@ -247,6 +268,8 @@ def decode_image(content: bytes) -> tuple[int, int, float, float, float]:
         return _decode_ppm(content)
     if content[:8] == _PNG_MAGIC:
         return _decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        return _decode_jpeg_means(content)
     raise DecodeUnavailable("image codec libraries not present in this environment")
 
 
@@ -347,6 +370,15 @@ def _decode_rgb_array(b: bytes):
         if color == 0:  # grayscale → replicate to RGB
             return np.repeat(arr, 3, axis=2)
         return arr[:, :, :3]  # RGBA drops alpha
+    if b[:2] == b"\xff\xd8":
+        from oct_report_ocr_spark.sources import jpeg as _jpeg
+
+        try:
+            return _jpeg.decode_jpeg(b)
+        except _jpeg.JpegUnsupported as e:
+            raise DecodeUnavailable(str(e)) from e
+        except _jpeg.JpegError as e:
+            raise CorruptImage(str(e)) from e
     raise DecodeUnavailable("image codec libraries not present in this environment")
 
 
@@ -589,6 +621,19 @@ def make_png(
     )
 
 
+def make_jpeg(w: int, h: int, seed: int = 0, subsampling: str = "420") -> bytes:
+    """Deterministic baseline JPEG for tests (sources/jpeg.py encoder;
+    4:2:0 by default — the shape real crawls serve)."""
+    import numpy as np
+
+    from oct_report_ocr_spark.sources.jpeg import encode_jpeg
+
+    arr = np.frombuffer(
+        bytes((seed + i) % 256 for i in range(w * h * 3)), dtype=np.uint8
+    ).reshape(h, w, 3)
+    return encode_jpeg(arr, subsampling=subsampling)
+
+
 def synth_media(spark, n: int = 64):
     """Deterministic fake media table for tests (binary payload sizes
     deliberately skewed, one empty payload per 16). Every 5th image row
@@ -605,7 +650,7 @@ def synth_media(spark, n: int = 64):
             if i % 13 == 0:
                 payload = b"BM" + payload[:40]  # corrupt: truncated header
             elif i % 5 == 0:
-                maker = (make_bmp, make_ppm, make_png)[(i // 15) % 3]
+                maker = (make_bmp, make_ppm, make_png, make_jpeg)[(i // 15) % 4]
                 payload = maker(8 + i % 16, 4 + i % 8, seed=i)
         if i % 16 and i % 3 == 2:  # kind == "video" rows
             if i % 13 == 0:

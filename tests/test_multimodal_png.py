@@ -121,7 +121,7 @@ def test_png_real_decode_in_distributed_path(spark):
     feats = {r.media_id: r for r in M.featurize(media, partitions=4).collect()}
     png_rows = 0
     for i in range(64):
-        if i % 16 and i % 3 == 0 and i % 13 != 0 and i % 5 == 0 and (i // 15) % 3 == 2:
+        if i % 16 and i % 3 == 0 and i % 13 != 0 and i % 5 == 0 and (i // 15) % 4 == 2:
             w, h = 8 + i % 16, 4 + i % 8
             r = feats[i]
             assert r.decode_error is None

@@ -44,9 +44,12 @@ def test_multimodal_real_decode_in_distributed_path(spark):
             corrupt += 1
         elif i % 5 == 0:
             w, h = 8 + i % 16, 4 + i % 8
-            maker = (multimodal.make_bmp, multimodal.make_ppm, multimodal.make_png)[
-                (i // 15) % 3
-            ]
+            maker = (
+                multimodal.make_bmp,
+                multimodal.make_ppm,
+                multimodal.make_png,
+                multimodal.make_jpeg,
+            )[(i // 15) % 4]
             payload = maker(w, h, seed=i)
             want = multimodal.image_feature(payload)
             # array<float> is float32 — compare at float32 precision
@@ -59,11 +62,16 @@ def test_multimodal_real_decode_in_distributed_path(spark):
 def test_multimodal_decode_stub_raises():
     import pytest
 
+    # formats with no kernel (e.g. WebP) stay honest DecodeUnavailable
     with pytest.raises(multimodal.DecodeUnavailable):
-        multimodal.decode_image(b"\xff\xd8\xff")
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     # corrupt-but-claimed-supported raises CorruptImage, not Unavailable
     with pytest.raises(multimodal.CorruptImage):
         multimodal.decode_image(multimodal.make_bmp(4, 4)[:30])
+    # a truncated JPEG is now a CORRUPT supported format (the baseline
+    # decoder is real since round 4), no longer an unavailable codec
+    with pytest.raises(multimodal.CorruptImage):
+        multimodal.decode_image(b"\xff\xd8\xff")
 
 
 def test_resize_image_nearest_neighbor_exact():
@@ -104,7 +112,8 @@ def test_resize_distributed_with_quarantine(spark):
                 multimodal.make_bmp,
                 multimodal.make_ppm,
                 multimodal.make_png,
-            )[(i // 15) % 3]
+                multimodal.make_jpeg,
+            )[(i // 15) % 4]
             want = multimodal.resize_image(
                 maker(8 + i % 16, 4 + i % 8, seed=i), 4, 4
             )
