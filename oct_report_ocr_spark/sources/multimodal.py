@@ -9,10 +9,12 @@ resize / frame-sample as Arrow-batched stages.
 
 Decode kernels: BMP (24bpp BI_RGB), binary PPM (P6), PNG (8-bit
 gray/RGB/RGBA, non-interlaced — pure stdlib zlib + full filter
-reconstruction incl. Paeth) and baseline JPEG (SOF0, 8-bit,
+reconstruction incl. Paeth), baseline JPEG (SOF0, 8-bit,
 gray/4:4:4/4:2:2/4:2:0, restart markers — sources/jpeg.py, stdlib +
-numpy) are REAL; formats whose codecs are genuinely absent from this
-container (progressive JPEG, WebP, audio, real video codecs) raise
+numpy) and WAV (RIFF PCM 8/16/24/32-bit + IEEE float 32/64-bit incl.
+WAVE_FORMAT_EXTENSIBLE — real chunk walk) are REAL; formats whose
+codecs are genuinely absent from this container (progressive JPEG,
+WebP, MP3/AAC/Opus/ADPCM, real video codecs) raise
 ``DecodeUnavailable`` or use a deterministic fake. Everything
 Spark-side is real and tested either way: schema, partitioning,
 mapInPandas signature, batch shape, error quarantine (D9 semantics).
@@ -45,6 +47,10 @@ class DecodeUnavailable(NotImplementedError):
 class CorruptImage(ValueError):
     """Raised on a payload that claims a supported format but is
     malformed — lands in decode_error quarantine (D9)."""
+
+
+class CorruptAudio(ValueError):
+    """Audio twin of CorruptImage: claims RIFF/WAVE but is malformed."""
 
 
 def _decode_bmp(b: bytes) -> tuple[int, int, float, float, float]:
@@ -308,9 +314,14 @@ def featurize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             try:
                 if kind == "image":
                     try:
-                        feats.append(image_feature(b))  # real BMP/PPM decode
+                        feats.append(image_feature(b))  # real BMP/PPM/PNG/JPEG decode
                     except DecodeUnavailable:
                         feats.append(fake_feature(b))  # codec absent: honest fake
+                elif kind == "audio":
+                    try:
+                        feats.append(audio_feature(b))  # real WAV PCM/float decode
+                    except DecodeUnavailable:
+                        feats.append(fake_feature(b))
                 else:
                     feats.append(fake_feature(b))
                 errs.append(None)
@@ -544,6 +555,241 @@ def frame_sample(media: DataFrame, every_k: int = 2, partitions: int | None = No
     return df.mapInPandas(kernel, schema=FRAME_DDL)
 
 
+# --------------------------------------------------------------------------
+# Audio decode. WAV (RIFF PCM / IEEE-float) is the audio format that IS
+# feasible pure stdlib+numpy in this container — the same argument that
+# made PNG/JPEG real on the image side. Compressed codecs (MP3, AAC,
+# Opus, ADPCM, a-law/mu-law) stay honest DecodeUnavailable.
+# --------------------------------------------------------------------------
+
+# WAVE format tags (RIFF spec). 0xFFFE wraps the real tag in a GUID.
+_WAV_PCM, _WAV_FLOAT, _WAV_EXTENSIBLE = 0x0001, 0x0003, 0xFFFE
+_KSDATAFORMAT_PCM = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+_KSDATAFORMAT_FLOAT = b"\x03\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+ENVELOPE_DDL = (
+    "media_id long, sample_rate int, channels int, n_frames long, "
+    "duration_s double, envelope array<float>, decode_error string"
+)
+
+
+def _wav_samples(b: bytes):
+    """Parse a RIFF/WAVE payload → (sample_rate, channels, samples)
+    where samples is an (n_frames, channels) float64 array in [-1, 1].
+
+    Real chunk walk (fmt/data found by iteration, unknown chunks
+    skipped, word-aligned sizes honored) — not an offset guess. PCM
+    8/16/24/32-bit and IEEE float 32/64-bit, plus WAVE_FORMAT_EXTENSIBLE
+    wrapping either. Malformed structure raises CorruptAudio;
+    genuinely-unsupported codecs raise DecodeUnavailable."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        # not a WAV at all (MP3/Opus/... — codecs absent from this
+        # container); same convention as decode_image's unknown-magic path
+        raise DecodeUnavailable("audio codec libraries not present in this environment")
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(b):
+        tag = b[off : off + 4]
+        (size,) = struct.unpack_from("<I", b, off + 4)
+        body = off + 8
+        if body + size > len(b):
+            raise CorruptAudio(f"wav: chunk {tag!r} truncated")
+        if tag == b"fmt ":
+            fmt = b[body : body + size]
+        elif tag == b"data":
+            data = b[body : body + size]
+        off = body + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise CorruptAudio("wav: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise CorruptAudio("wav: fmt chunk too short")
+    tag, channels, rate, _brate, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == _WAV_EXTENSIBLE:
+        if len(fmt) < 40:
+            raise CorruptAudio("wav: extensible fmt truncated")
+        guid = fmt[24:40]
+        if guid == _KSDATAFORMAT_PCM:
+            tag = _WAV_PCM
+        elif guid == _KSDATAFORMAT_FLOAT:
+            tag = _WAV_FLOAT
+        else:
+            raise DecodeUnavailable("wav: unsupported extensible subformat")
+    if tag not in (_WAV_PCM, _WAV_FLOAT):
+        raise DecodeUnavailable(f"wav: codec 0x{tag:04x} not supported (PCM/float only)")
+    if channels == 0 or rate == 0:
+        raise CorruptAudio("wav: zero channels or sample rate")
+    if tag == _WAV_PCM and bits not in (8, 16, 24, 32):
+        raise DecodeUnavailable(f"wav: {bits}-bit PCM not supported")
+    if tag == _WAV_FLOAT and bits not in (32, 64):
+        raise DecodeUnavailable(f"wav: {bits}-bit float not supported")
+    frame_bytes = channels * (bits // 8)
+    if block_align and block_align != frame_bytes:
+        raise CorruptAudio("wav: block align disagrees with channels*bits")
+    if len(data) % frame_bytes:
+        raise CorruptAudio("wav: data size not a whole number of frames")
+    n = len(data) // (bits // 8)
+    if tag == _WAV_FLOAT:
+        arr = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8", count=n).astype(np.float64)
+    elif bits == 8:  # 8-bit PCM is unsigned, midpoint 128
+        arr = (np.frombuffer(data, dtype=np.uint8, count=n).astype(np.float64) - 128.0) / 128.0
+    elif bits == 24:  # sign-extend 3-byte little-endian into int32
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+        vals = (raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)).astype(np.int32)
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        arr = vals.astype(np.float64) / float(1 << 23)
+    else:
+        dt = np.int16 if bits == 16 else np.int32
+        arr = np.frombuffer(data, dtype=np.dtype(dt).newbyteorder("<"), count=n).astype(
+            np.float64
+        ) / float(1 << (bits - 1))
+    return rate, channels, arr.reshape(-1, channels)
+
+
+def decode_audio(content: bytes) -> tuple[int, int, int, float, float, float, float]:
+    """Real audio decode → (sample_rate, channels, n_frames, duration_s,
+    rms, peak, zero_crossing_rate). Amplitude stats are over all
+    channels in [-1, 1]; the zero-crossing rate is of the mono mix —
+    all O(samples) vectorized numpy, no Python per-sample loop."""
+    import numpy as np
+
+    rate, channels, samples = _wav_samples(content)
+    n_frames = samples.shape[0]
+    if n_frames == 0:
+        return rate, channels, 0, 0.0, 0.0, 0.0, 0.0
+    rms = float(np.sqrt(np.mean(samples * samples)))
+    peak = float(np.max(np.abs(samples)))
+    mono = samples.mean(axis=1)
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n_frames > 1 else 0.0
+    return rate, channels, n_frames, n_frames / rate, rms, peak, zcr
+
+
+def audio_feature(content: bytes, dim: int = 8) -> list[float]:
+    """Feature vector from a really-decoded audio payload: [sample_rate,
+    channels, n_frames, duration_s, rms, peak, zcr, 0] — same
+    deterministic byte-stable contract as image_feature (leads with a
+    value ≥ 1, so it is distinguishable from the digest fake)."""
+    rate, ch, n, dur, rms, peak, zcr = decode_audio(content)
+    out = [float(rate), float(ch), float(n), dur, rms, peak, zcr]
+    return (out + [0.0] * dim)[:dim]
+
+
+def audio_envelope(content: bytes, n_windows: int) -> tuple[int, int, int, list[float]]:
+    """Per-window RMS envelope of the mono mix → (sample_rate, channels,
+    n_frames, envelope). The audio analogue of resize_image: a fixed-
+    size downsampled representation regardless of payload length.
+    Window boundaries use the same integer split as the nearest-
+    neighbor resampler, so it is exact and deterministic."""
+    import numpy as np
+
+    rate, channels, samples = _wav_samples(content)
+    n = samples.shape[0]
+    if n == 0:
+        return rate, channels, 0, [0.0] * n_windows
+    mono2 = (samples.mean(axis=1)) ** 2
+    bounds = (np.arange(n_windows + 1) * n) // n_windows
+    csum = np.concatenate(([0.0], np.cumsum(mono2)))
+    widths = np.maximum(bounds[1:] - bounds[:-1], 1)
+    env = np.sqrt((csum[np.minimum(bounds[1:], n)] - csum[bounds[:-1]]) / widths)
+    return rate, channels, n, [float(x) for x in env]
+
+
+def envelope(media: DataFrame, n_windows: int = 16, partitions: int | None = None) -> DataFrame:
+    """Distributed audio-envelope stage (mirrors resize for images):
+    filter to audio rows BEFORE any Python runs (the kind predicate
+    reaches the scan), salted repartition for payload-size skew, then
+    an Arrow-batched mapInPandas kernel with per-row quarantine."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chs, nfs, durs, envs, errs = [], [], [], [], [], []
+            for content in pdf["content"]:
+                if content is None or len(content) == 0:
+                    rates.append(None), chs.append(None), nfs.append(None)
+                    durs.append(None), envs.append(None), errs.append("empty")
+                    continue
+                try:
+                    rate, ch, n, env = audio_envelope(bytes(content), n_windows)
+                    rates.append(rate), chs.append(ch), nfs.append(n)
+                    durs.append(n / rate), envs.append(env), errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    rates.append(None), chs.append(None), nfs.append(None)
+                    durs.append(None), envs.append(None)
+                    errs.append(f"decode:{type(e).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "n_frames": pd.array(nfs, dtype="Int64"),
+                    "duration_s": pd.array(durs, dtype="Float64"),
+                    "envelope": envs,
+                    "decode_error": errs,
+                }
+            )
+
+    df = media.filter(F.col("kind") == "audio")
+    if partitions:
+        df = df.repartition(partitions, F.pmod(F.xxhash64("media_id"), F.lit(partitions)))
+    return df.mapInPandas(kernel, schema=ENVELOPE_DDL)
+
+
+def make_wav(
+    n_frames: int,
+    rate: int = 16000,
+    channels: int = 1,
+    seed: int = 0,
+    bits: int = 16,
+    fmt: str = "pcm",
+    extensible: bool = False,
+) -> bytes:
+    """Deterministic WAV encoder for tests: sample s of channel c is the
+    closed-form ramp ((seed + 7*s + 3*c) % 509 - 254) / 254, quantized
+    to the target width — so every decode has an exact ground truth."""
+    import struct
+
+    import numpy as np
+
+    s = np.arange(n_frames)[:, None]
+    c = np.arange(channels)[None, :]
+    vals = ((seed + 7 * s + 3 * c) % 509 - 254) / 254.0  # in [-1, 1]
+    if fmt == "float":
+        data = vals.astype("<f4" if bits == 32 else "<f8").tobytes()
+        tag = _WAV_FLOAT
+    elif bits == 8:
+        data = (np.round(vals * 127) + 128).astype(np.uint8).tobytes()
+        tag = _WAV_PCM
+    elif bits == 24:
+        ints = np.round(vals * ((1 << 23) - 1)).astype(np.int32)
+        u = ints.astype(np.uint32) & 0xFFFFFF
+        flat = u.reshape(-1)
+        data = np.stack(
+            [flat & 0xFF, (flat >> 8) & 0xFF, (flat >> 16) & 0xFF], axis=1
+        ).astype(np.uint8).tobytes()
+        tag = _WAV_PCM
+    else:
+        lim = (1 << (bits - 1)) - 1
+        dt = np.int16 if bits == 16 else np.int32
+        data = np.round(vals * lim).astype(np.dtype(dt).newbyteorder("<")).tobytes()
+        tag = _WAV_PCM
+    block = channels * (bits // 8)
+    if extensible:
+        guid = _KSDATAFORMAT_FLOAT if tag == _WAV_FLOAT else _KSDATAFORMAT_PCM
+        fmt_body = struct.pack(
+            "<HHIIHHHHI", _WAV_EXTENSIBLE, channels, rate, rate * block, block, bits, 22, bits, 0
+        ) + guid
+    else:
+        fmt_body = struct.pack("<HHIIHH", tag, channels, rate, rate * block, block, bits)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def make_bmp(w: int, h: int, seed: int = 0) -> bytes:
     """Deterministic uncompressed 24-bpp bottom-up BMP for tests."""
     import struct
@@ -637,11 +883,13 @@ def make_jpeg(w: int, h: int, seed: int = 0, subsampling: str = "420") -> bytes:
 def synth_media(spark, n: int = 64):
     """Deterministic fake media table for tests (binary payload sizes
     deliberately skewed, one empty payload per 16). Every 5th image row
-    carries a REAL decodable payload (BMP or PPM, alternating) so the
+    carries a REAL decodable payload (rotating BMP/PPM/PNG/JPEG) so the
     real decode kernel is exercised in the distributed path; every 13th
-    image row is a corrupt BMP (quarantine path). Video rows mirror the
-    same scheme with FV01 containers (real frame-sample path / corrupt
-    container / opaque bytes)."""
+    image row is a corrupt BMP (quarantine path). Audio rows mirror the
+    scheme with WAV payloads (rotating 8/16/24-bit PCM and 32-bit
+    float / truncated-chunk corrupt / opaque bytes), and video rows
+    with FV01 containers (real frame-sample path / corrupt container /
+    opaque bytes)."""
     rows = []
     for i in range(n):
         size = (i * 977) % 4096 + (8192 if i % 11 == 0 else 0)
@@ -652,6 +900,16 @@ def synth_media(spark, n: int = 64):
             elif i % 5 == 0:
                 maker = (make_bmp, make_ppm, make_png, make_jpeg)[(i // 15) % 4]
                 payload = maker(8 + i % 16, 4 + i % 8, seed=i)
+        if i % 16 and i % 3 == 1:  # kind == "audio" rows
+            if i % 13 == 0:
+                # corrupt: claims RIFF/WAVE but the data chunk is truncated
+                payload = make_wav(64, seed=i)[:40]
+            elif i % 5 == 0:
+                bits, fmt = ((8, "pcm"), (16, "pcm"), (24, "pcm"), (32, "float"))[(i // 15) % 4]
+                payload = make_wav(
+                    32 + i * 3, rate=8000 + 100 * i, channels=1 + i % 2,
+                    seed=i, bits=bits, fmt=fmt,
+                )
         if i % 16 and i % 3 == 2:  # kind == "video" rows
             if i % 13 == 0:
                 # corrupt: claims FV01 but frame data truncated
