@@ -148,3 +148,38 @@ def test_lang_filter_pushed_to_scan(spark, corpus):
     plan = extract_job.extract_df(docs, buckets=4)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "EqualTo(lang,en)" in plan.replace(" ", "")
+
+
+def test_salt_width_rule():
+    """The salted-exchange width resolver: max of the sink bucket count,
+    5x cluster parallelism (the r04 profile's finer-reduce-task win),
+    and the payload-bytes/256MB task-size floor; absurd/unknown byte
+    estimates (stats not computed -> Long.Max sentinel) are ignored."""
+    # parallelism floor reproduces the measured best at both bench levels
+    assert extract_job.salt_width(64, 8) == 64        # 5*8=40 < 64: neutral at N
+    assert extract_job.salt_width(64, 32) == 160      # the measured 32-core win
+    assert extract_job.salt_width(160, 32) == 160     # explicit buckets keep priority
+    # byte floor: 100 TB / 256 MB ~ 409600 reduce tasks, not 5*parallelism
+    assert extract_job.salt_width(64, 8000, est_input_bytes=100 * 2**40) == 409600
+    # unknown / absurd stats sentinel is ignored, parallelism floor stands
+    assert extract_job.salt_width(64, 32, est_input_bytes=None) == 160
+    assert extract_job.salt_width(64, 32, est_input_bytes=0) == 160
+    assert extract_job.salt_width(64, 32, est_input_bytes=1 << 62) == 160
+
+
+def test_salted_exchange_width_decoupled_from_sink_buckets(spark, corpus, tmp_path):
+    """salt_partitions widens the Python-stage exchange without touching
+    the sink bucket identity (resume manifests stay valid), and the
+    output row set is unchanged (partitioning invariance)."""
+    docs = spark.read.parquet(corpus)
+    df = extract_job.extract_df(docs, buckets=4, mode="salted", salt_partitions=24)
+    # exchange width = salt keys + large-page key range
+    assert df.rdd.getNumPartitions() == 24 + max(24 // 4, 8)
+    # sink bucket column still spans the SINK bucket count, not the salt
+    assert df.select("bucket").distinct().count() <= 4
+    ref = {
+        (r.url, r.extracted_text, r.error)
+        for r in extract_job.extract_df(docs, buckets=4, mode="scan-aligned").collect()
+    }
+    got = {(r.url, r.extracted_text, r.error) for r in df.collect()}
+    assert got == ref
