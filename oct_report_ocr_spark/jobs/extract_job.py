@@ -45,6 +45,43 @@ from oct_report_ocr_spark.jobs.extract_udf import OUTPUT_DDL, extract_batches
 LARGE_HTML_BYTES = 256 * 1024
 INPUT_COLS = ("url", "warc_ts", "html")
 
+#: target bytes per salted reduce task (parquet's maxPartitionBytes twin):
+#: the exchange should never hand a Python worker more than one scan
+#: split's worth of payload.
+SALT_TASK_BYTES = 256 * 1024 * 1024
+#: any size estimate at/above this is Catalyst's "stats not computed"
+#: sentinel territory (sizeInBytes defaults to Long.MaxValue), not a
+#: real table size — an exabyte exceeds every corpus this engine targets.
+_ABSURD_BYTES = 1 << 60
+
+
+def salt_width(buckets: int, parallelism: int, est_input_bytes: int | None = None) -> int:
+    """Resolve the salted-exchange width (number of salt keys) for the
+    Python extraction stage, decoupled from the sink bucket count.
+
+    ``max`` of three floors:
+
+    - ``buckets`` — never narrower than the sink layout, so every
+      bucket still receives at least one dedicated reduce task;
+    - ``5 * parallelism`` — the finer-reduce-task rule from the r04
+      per-stage profile (BENCH/salted_profile_r04.log): at 32 cores a
+      160-wide exchange cut shuffle-write serialization enough to lift
+      salted scaling efficiency 0.573 → 0.637, and 5 waves of small
+      tasks also smooth per-page cost variance;
+    - ``ceil(est_input_bytes / SALT_TASK_BYTES)`` — the task-size
+      floor: at 100 TB neither of the above produces enough tasks to
+      keep partitions under ~256 MB of payload each.
+
+    ``est_input_bytes`` that is ``None``, non-positive, or in sentinel
+    territory (``>= 2^60``; Catalyst reports ``Long.MaxValue`` when
+    stats are missing) is ignored — a broken estimate must never size
+    a production exchange.
+    """
+    width = max(int(buckets), 5 * int(parallelism))
+    if est_input_bytes and 0 < est_input_bytes < _ABSURD_BYTES:
+        width = max(width, -(-int(est_input_bytes) // SALT_TASK_BYTES))
+    return width
+
 
 def extract_df(
     docs: DataFrame,
@@ -52,6 +89,7 @@ def extract_df(
     lang: str | None = "en",
     exclude_buckets: list[int] | None = None,
     mode: str = "scan-aligned",
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """The logical extraction plan (no sink). Returns one row per input
     document with columns OUTPUT_DDL + ``bucket``.
@@ -95,20 +133,30 @@ def extract_df(
 
     if mode == "salted":
         # SINGLE scan + SINGLE shuffle: huge pages (~0.5%) get their own
-        # url-scattered key range ABOVE the normal buckets, so a run of
+        # url-scattered key range ABOVE the normal salt keys, so a run of
         # multi-MB payloads can't bloat a small-class Arrow batch, while
         # the plan stays one exchange (a two-branch filter+union would
-        # scan the input twice — measured 2× the scan CPU at sf0.1)
-        n_large_keys = max(buckets // 4, 8)
+        # scan the input twice — measured 2× the scan CPU at sf0.1).
+        #
+        # The exchange width (``salt_partitions``, typically resolved by
+        # :func:`salt_width`) is deliberately DECOUPLED from ``buckets``:
+        # the sink bucket is part of the resume-manifest identity
+        # (completed_buckets keys on pmod(xxhash64(url), buckets)), so
+        # widening the Python stage for parallelism must never change
+        # which bucket a url lands in. When they coincide the salt key
+        # equals the sink bucket and the plan is byte-identical to the
+        # pre-decoupling one.
+        salt = buckets if salt_partitions is None else int(salt_partitions)
+        n_large_keys = max(salt // 4, 8)
         part_key = (
             F.when(
                 F.length("html") > LARGE_HTML_BYTES,
-                F.lit(buckets)
+                F.lit(salt)
                 + F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_large_keys)).cast("int"),
             )
-            .otherwise(F.col("bucket"))
+            .otherwise(F.pmod(F.xxhash64(F.col("url")), F.lit(salt)).cast("int"))
         )
-        df = df.repartition(buckets + n_large_keys, part_key)
+        df = df.repartition(salt + n_large_keys, part_key)
     out = df.select(*INPUT_COLS).mapInArrow(extract_batches, schema=OUTPUT_DDL)
     # recompute the bucket for the sink partitioning (cheap codegen hash)
     return out.withColumn("bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int"))
