@@ -54,6 +54,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oct_report_ocr_spark.session import conf_override, read_parquet_if_exists
+
 _CELL_SEP = "/"
 
 
@@ -63,10 +65,12 @@ def _cell_key() -> F.Column:
 
 def completed_cells(spark: SparkSession, output: str) -> list[str]:
     """(tier, lang) cells already committed to the cell manifest —
-    'tier/lang' keys, [] on a fresh sink."""
-    try:
-        m = spark.read.parquet(os.path.join(output, "_manifests", "cells"))
-    except Exception:  # noqa: BLE001 — first run: no manifest yet
+    'tier/lang' keys, [] on a fresh sink. Only a MISSING manifest means
+    "first run"; a transient/corrupt read propagates (a damaged
+    manifest misread as empty would re-append every committed cell and
+    double-count the stats)."""
+    m = read_parquet_if_exists(spark, os.path.join(output, "_manifests", "cells"))
+    if m is None:
         return []
     return [
         f"{r.tier}{_CELL_SEP}{r.lang}"
@@ -75,9 +79,8 @@ def completed_cells(spark: SparkSession, output: str) -> list[str]:
 
 
 def completed_shards(spark: SparkSession, output: str) -> list[int]:
-    try:
-        m = spark.read.parquet(os.path.join(output, "_manifests", "shards"))
-    except Exception:  # noqa: BLE001 — first run: no manifest yet
+    m = read_parquet_if_exists(spark, os.path.join(output, "_manifests", "shards"))
+    if m is None:
         return []
     return [r.shard for r in m.select("shard").distinct().collect()]
 
@@ -96,13 +99,13 @@ def _write_tiered_resumable(
     pending = labeled
     if done:
         pending = pending.filter(~_cell_key().isin(done))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        pending.repartition("tier", "lang")
-        .write.mode("overwrite")
-        .partitionBy("tier", "lang")
-        .parquet(data_path)
-    )
+    with conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        (
+            pending.repartition("tier", "lang")
+            .write.mode("overwrite")
+            .partitionBy("tier", "lang")
+            .parquet(data_path)
+        )
     written = spark.read.parquet(data_path)
     if done:
         written = written.filter(~_cell_key().isin(done))
@@ -136,14 +139,14 @@ def _write_shards_resumable(
     )
     if done:
         sharded = sharded.filter(~F.col("shard").isin(done))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(data_path)
-    )
+    with conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        (
+            sharded.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(data_path)
+        )
     written = spark.read.parquet(data_path)
     if done:
         written = written.filter(~F.col("shard").isin(done))
@@ -227,8 +230,21 @@ def run(
         n_shards,
     )
 
-    cells = spark.read.parquet(os.path.join(output_path, "_manifests", "cells")).collect()
-    shards = spark.read.parquet(os.path.join(output_path, "_manifests", "shards")).collect()
+    # last-writer-wins per unit: the append-only manifests normally hold
+    # one row per cell/shard, but if a unit was ever re-committed the
+    # stats must count it once, not per append
+    cells = (
+        spark.read.parquet(os.path.join(output_path, "_manifests", "cells"))
+        .groupBy("tier", "lang")
+        .agg(F.max("n_docs").alias("n_docs"), F.max("total_words").alias("total_words"))
+        .collect()
+    )
+    shards = (
+        spark.read.parquet(os.path.join(output_path, "_manifests", "shards"))
+        .groupBy("shard")
+        .agg(F.max("n_rows").alias("n_rows"))
+        .collect()
+    )
     n_out = sum(r.n_docs for r in cells)
     return {
         "rows_in": int(n_in),

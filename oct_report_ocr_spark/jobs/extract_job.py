@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oct_report_ocr_spark.jobs.extract_udf import OUTPUT_DDL, extract_batches
+from oct_report_ocr_spark.session import conf_override, read_parquet_if_exists
 
 LARGE_HTML_BYTES = 256 * 1024
 INPUT_COLS = ("url", "warc_ts", "html")
@@ -179,10 +180,10 @@ def _manifest_rows(extracted_files: DataFrame) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, output: str) -> list[int]:
-    manifest_path = os.path.join(output, "_manifests")
-    try:
-        m = spark.read.parquet(manifest_path)
-    except Exception:  # noqa: BLE001 — first run: no manifest yet
+    # only a MISSING manifest means "first run"; a transient/corrupt
+    # read propagates rather than silently re-extracting every bucket
+    m = read_parquet_if_exists(spark, os.path.join(output, "_manifests"))
+    if m is None:
         return []
     return [r.bucket for r in m.select("bucket").distinct().collect()]
 
@@ -219,8 +220,8 @@ def run(
 
     # dynamic overwrite: a retried pending bucket replaces its partial
     # files instead of appending duplicates (idempotent re-run)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    plan.write.partitionBy("bucket").mode("overwrite").parquet(data_path)
+    with conf_override(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        plan.write.partitionBy("bucket").mode("overwrite").parquet(data_path)
 
     # manifest commit AFTER data: re-read what was actually written
     written = spark.read.parquet(data_path)

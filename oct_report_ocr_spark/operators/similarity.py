@@ -229,15 +229,18 @@ def _assign6(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     Window.partitionBy("vec_id") row_number form shuffled AND sorted.
     cos is rounded to 6 dp, so round(cos*1e6) is an exact integer;
     packing (cos DESC, centroid_id ASC) into one BIGINT ordering key
-    (centroid_id ∈ 1..IVF_K < 1024) keeps the aggregation buffer
-    all-primitive — a true partial HashAggregate, where a struct
-    ordering key would fall back to SortAggregate."""
+    keeps the aggregation buffer all-primitive — a true partial
+    HashAggregate, where a struct ordering key would fall back to
+    SortAggregate. The stride is derived from IVF_K (next power of
+    two strictly above it) so the centroid-id tie-break can never
+    borrow into the cosine digits, whatever IVF_K is raised to."""
     joined = vecs.crossJoin(F.broadcast(cents))
     scored = joined.select(
         "vec_id", "centroid_id", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("cos")
     )
+    stride = 1 << IVF_K.bit_length()  # > IVF_K even when IVF_K is a power of two
     best_key = (
-        F.round(F.col("cos") * 1e6).cast("long") * F.lit(1024) - F.col("centroid_id")
+        F.round(F.col("cos") * 1e6).cast("long") * F.lit(stride) - F.col("centroid_id")
     )
     return scored.groupBy("vec_id").agg(
         F.max_by("centroid_id", best_key).alias("centroid_id"),

@@ -9,9 +9,52 @@ spark-submit supply it.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def conf_override(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block, restoring the
+    prior value (or unsetting) on exit — sink writes that need
+    ``partitionOverwriteMode=dynamic`` must not leak it into a shared
+    session, where it would silently switch a later partitioned
+    ``mode("overwrite")`` write from truncate-all to dynamic semantics
+    (ADVICE r04)."""
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet`` that returns None ONLY when the path does
+    not exist (first run: no manifest yet). Any other failure —
+    transient FS error, corrupt footer, permission — propagates: a
+    resume job must fail loudly rather than treat a damaged manifest as
+    "nothing completed" and double-commit every prior unit (ADVICE
+    r04)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        klass = ""
+        for attr in ("getCondition", "getErrorClass"):  # 4.x name, then legacy
+            get_klass = getattr(e, attr, None)
+            if callable(get_klass):
+                klass = get_klass() or ""
+                break
+        if "PATH_NOT_FOUND" in klass or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def get_spark(

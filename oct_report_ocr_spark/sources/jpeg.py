@@ -284,7 +284,14 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             raise JpegError("jpeg: expected marker")
         marker = b[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte: the real marker code follows
+            pos -= 1
+            continue
         if marker == 0xD8:
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, stray RSTn) carry no length field;
+            # parsing them as length-prefixed segments misreads the stream
             continue
         if marker == 0xD9:
             raise JpegError("jpeg: EOI before SOS")

@@ -276,7 +276,27 @@ def decode_image(content: bytes) -> tuple[int, int, float, float, float]:
         return _decode_png(content)
     if content[:2] == b"\xff\xd8":
         return _decode_jpeg_means(content)
+    if _sniff_kind(content) == "audio":
+        # cross-kind confusion (VERDICT r04 item 7): a recognized WAV in
+        # an image row is mislabeled data, not a missing codec — it must
+        # quarantine, never fall through to the fake-feature path
+        raise CorruptImage("image row holds a RIFF/WAVE audio payload")
     raise DecodeUnavailable("image codec libraries not present in this environment")
+
+
+def _sniff_kind(b: bytes) -> str | None:
+    """Best-effort media-kind sniff over the magics this container can
+    actually decode — used only to catch cross-kind mislabeling (a WAV
+    in an image row, a PNG in an audio row). Unknown magics return None
+    and keep the honest DecodeUnavailable path."""
+    if (
+        b[:2] in (b"BM", b"P6", b"\xff\xd8")
+        or b[:8] == _PNG_MAGIC
+    ):
+        return "image"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "audio"
+    return None
 
 
 def image_feature(content: bytes, dim: int = 8) -> list[float]:
@@ -587,6 +607,11 @@ def _wav_samples(b: bytes):
     import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        if _sniff_kind(b) == "image":
+            # cross-kind confusion (VERDICT r04 item 7): a recognized
+            # image in an audio row is mislabeled data — quarantine,
+            # never the fake-feature fallback
+            raise CorruptAudio("audio row holds an image payload")
         # not a WAV at all (MP3/Opus/... — codecs absent from this
         # container); same convention as decode_image's unknown-magic path
         raise DecodeUnavailable("audio codec libraries not present in this environment")

@@ -1,9 +1,13 @@
-"""Scale-behavior harness for the dedup connected-components BSP loop
-(VERDICT r03 item 6): run the SAME pair-graph construction + BSP
-min-label/pointer-jumping loop at two corpus scales and record
+"""Scale-behavior harness for the dedup connected-components loop
+(VERDICT r03 item 6): run the SAME pair-graph construction +
+alternating large-star/small-star loop (Kiveris et al. SoCC 2014 —
+the r04 rewrite of components_from_pairs after this very harness
+exposed the old BSP min-label/pointer-jumping loop's O(diameter)
+descending-id worst case) at two corpus scales and record
 
-- rounds-to-convergence (the O(log diameter) claim: a 16× graph must
-  converge in ~the same handful of rounds, nowhere near CC_MAX_ROUNDS),
+- rounds-to-convergence (the O(log² n) claim: a 16× graph must
+  converge in ~log₂(largest family) rounds, nowhere near
+  CC_MAX_ROUNDS),
 - per-round wall time and shuffle read/write bytes (the per-round
   shuffle must track the EDGE GRAPH size, not blow up non-linearly),
 - pair-construction vs loop time split.

@@ -122,3 +122,16 @@ def test_jpeg_resize_path():
     rows = (np.arange(3) * 6) // 3
     cols = (np.arange(4) * 8) // 4
     assert out == M._encode_ppm(arr[rows][:, cols])
+
+
+def test_jpeg_standalone_markers_in_header_skipped():
+    """TEM (0x01) and stray RSTn before SOS are standalone — no length
+    field. They must be skipped, not parsed as length-prefixed segments
+    (which misreads rare-but-valid streams into quarantine); same for
+    0xFF fill bytes between segments (ADVICE r04)."""
+    img = _ramp(16, 16, 3)
+    good = encode_jpeg(img)
+    base = decode_jpeg(good)
+    for injected in (b"\xff\x01", b"\xff\xd0", b"\xff\xd7", b"\xff\xff", b"\xff\xff\xff\x01"):
+        stream = good[:2] + injected + good[2:]
+        assert np.array_equal(decode_jpeg(stream), base), injected.hex()
