@@ -123,6 +123,7 @@ def run_extraction(
     shard: tuple[int, int] | None = None,
     corpus_path: str | None = None,
     buckets: int = 64,
+    salt_partitions: int | None = None,
 ) -> tuple[float, int]:
     """Flagship extraction end-to-end (scan → salt → mapInArrow → noop
     sink). With repeats>1: one warmup run, then median of `repeats`
@@ -146,7 +147,9 @@ def run_extraction(
     if os.environ.get("SPARK_GRAFT_EXTRACT_AQE") != "1":
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return _run_extraction_timed(spark, corpus, mode, shard, repeats, buckets)
+        return _run_extraction_timed(
+            spark, corpus, mode, shard, repeats, buckets, salt_partitions
+        )
     finally:
         # always restore: bench_once shares one session with the
         # relational queries, which want AQE back on even if a timed
@@ -154,7 +157,9 @@ def run_extraction(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
 
-def _run_extraction_timed(spark, corpus, mode, shard, repeats, buckets=64):
+def _run_extraction_timed(
+    spark, corpus, mode, shard, repeats, buckets=64, salt_partitions=None
+):
     import statistics
 
     from pyspark.sql import functions as F
@@ -172,7 +177,9 @@ def _run_extraction_timed(spark, corpus, mode, shard, repeats, buckets=64):
     # must run the IDENTICAL job — only parallelism may differ. 64+16
     # partitions = 2.5 task waves at 32 cores; 128 buckets measured 2.7x
     # slower at sf0.1 purely from tiny-task scheduling overhead
-    plan = extract_df(docs, buckets=buckets, lang="en", mode=mode)
+    plan = extract_df(
+        docs, buckets=buckets, lang="en", mode=mode, salt_partitions=salt_partitions
+    )
     # warmup so the timed runs measure the job, not daemon spawn: spawn
     # the Python workers + JIT the UDF path on a small sample
     _noop_write(extract_df(docs.limit(512), buckets=8, lang="en"))
@@ -282,6 +289,7 @@ def bench_once(
     corpus_path: str | None = None,
     profile_stages: bool = False,
     buckets: int = 64,
+    salt_partitions: int | None = None,
 ) -> dict:
     from oct_report_ocr_spark.session import get_spark
 
@@ -305,11 +313,13 @@ def bench_once(
         shard=shard,
         corpus_path=corpus_path,
         buckets=buckets,
+        salt_partitions=salt_partitions,
     )
     result = {
         "cores": cores,
         "sf": sf,
         "buckets": buckets,
+        "salt_partitions": salt_partitions,
         "extract_sec": round(ext_sec, 3),
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / ext_sec, 1),
@@ -396,6 +406,13 @@ def main() -> None:
     )
     ap.add_argument("--profile-stages", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--salt-partitions",
+        type=int,
+        default=None,
+        help="salted-exchange width, decoupled from the sink bucket count "
+        "(resolve with extract_job.salt_width)",
+    )
     args = ap.parse_args()
 
     if args.salted_profile:
@@ -425,7 +442,10 @@ def main() -> None:
                             *pin, sys.executable, __file__, "--cores", str(cores),
                             "--extract-only", "--bench-sf", str(profile_sf),
                             "--repeats", "1", "--mode", "salted",
-                            "--profile-stages", "--buckets", str(nb),
+                            # the grid varies the EXCHANGE width; sink
+                            # buckets stay 64 (resume-valid identity)
+                            "--profile-stages", "--buckets", "64",
+                            "--salt-partitions", str(nb),
                             "--corpus-path", corpus_shm,
                         ],
                         capture_output=True, text=True, check=True, cwd=REPO, env=env,
@@ -516,22 +536,29 @@ def main() -> None:
                     # four idle 16 GB heaps measurably stall this host's
                     # memory subsystem (GC scan + page-commit pressure)
                     env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": f"{max(4, cores // 2)}g"}
-                    # salted runs use a finer bucket count (r04 profile:
-                    # 160+40 partitions beat 64+16 by ~10% at 32 cores and
-                    # were neutral at 8 — finer reduce tasks smooth
-                    # page-size skew in the Python stage; same job at both
-                    # levels, so the comparison stays valid)
-                    nb = (
-                        os.environ.get("SPARK_GRAFT_SALTED_BUCKETS", "160")
-                        if mode == "salted"
-                        else "64"
-                    )
+                    # salted runs widen the EXCHANGE, not the sink buckets
+                    # (r04 profile: a 160-wide exchange beat 64+16 by ~10%
+                    # at 32 cores and was neutral at 8 — finer reduce tasks
+                    # smooth page-size skew in the Python stage). Width is
+                    # salt_width(64, 32) resolved ONCE at the top level and
+                    # used at BOTH levels, so the two levels run the
+                    # IDENTICAL job; buckets stay 64, so the sink/manifest
+                    # identity a production resume depends on is untouched
+                    # (run I's `buckets=160` hack invalidated it).
+                    salt_args = []
+                    if mode == "salted":
+                        from oct_report_ocr_spark.jobs.extract_job import salt_width
+
+                        sp = os.environ.get(
+                            "SPARK_GRAFT_SALT_PARTITIONS", str(salt_width(64, 32))
+                        )
+                        salt_args = ["--salt-partitions", sp]
                     out = subprocess.run(
                         [
                             *pin, sys.executable, __file__, "--cores", str(cores),
                             "--extract-only", "--bench-sf", str(scaling_sf),
                             "--repeats", "3", "--mode", mode,
-                            "--buckets", nb,
+                            "--buckets", "64", *salt_args,
                             "--corpus-path", corpus_shm,
                         ],
                         capture_output=True, text=True, check=True, cwd=REPO, env=env,
@@ -784,6 +811,7 @@ Reproduce: `python bench.py --scaling`
         corpus_path=args.corpus_path,
         profile_stages=args.profile_stages,
         buckets=args.buckets,
+        salt_partitions=args.salt_partitions,
     )
     if args.extract_only:
         print(json.dumps(r))

@@ -196,8 +196,13 @@ def run(
     lang: str | None = "en",
     fresh: bool = False,
     mode: str = "scan-aligned",
+    salt_partitions: int | None = None,
 ) -> dict:
-    """Run (or resume) the extraction job. Returns run metrics."""
+    """Run (or resume) the extraction job. Returns run metrics.
+
+    ``salt_partitions`` (salted mode) widens the Python-stage exchange
+    without touching the sink bucket identity — resolve it with
+    :func:`salt_width`; the CLI does so automatically."""
     data_path = os.path.join(output, "extracted")
     manifest_path = os.path.join(output, "_manifests")
     if fresh and os.path.isdir(output):
@@ -208,14 +213,23 @@ def run(
     done = [] if fresh else completed_buckets(spark, output)
 
     docs = spark.read.parquet(input_path)
-    plan = extract_df(docs, buckets=buckets, lang=lang, exclude_buckets=done, mode=mode)
-    if mode == "scan-aligned":
-        # the salted mode arrives with one bucket per task, so the
-        # partitioned write below emits one clean file per bucket; the
-        # scan-aligned plan would instead emit up to tasks x buckets
-        # tiny files. Repartition the EXTRACTED rows by bucket — this
-        # shuffle moves main-content text only, a fraction of the raw
-        # html payload the salted mode shuffles.
+    plan = extract_df(
+        docs,
+        buckets=buckets,
+        lang=lang,
+        exclude_buckets=done,
+        mode=mode,
+        salt_partitions=salt_partitions,
+    )
+    if mode == "scan-aligned" or (salt_partitions is not None and salt_partitions != buckets):
+        # a bucket-aligned salted run (salt == buckets) arrives with one
+        # bucket per task, so the partitioned write below emits one clean
+        # file per bucket; the scan-aligned plan — or a salted plan whose
+        # exchange was widened past the bucket count — would instead
+        # emit up to tasks x buckets tiny files. Repartition the
+        # EXTRACTED rows by bucket — this shuffle moves main-content
+        # text only, a fraction of the raw html payload the salted mode
+        # shuffles.
         plan = plan.repartition(buckets, "bucket")
 
     # dynamic overwrite: a retried pending bucket replaces its partial
@@ -266,9 +280,29 @@ def main() -> None:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--mode", default="scan-aligned", choices=["salted", "scan-aligned"])
+    ap.add_argument(
+        "--salt-partitions",
+        type=int,
+        default=None,
+        help="salted-exchange width (salted mode); default: salt_width(buckets, cores)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="extract_job", cores=args.cores)
+    salt_partitions = args.salt_partitions
+    if salt_partitions is None and args.mode == "salted":
+        # resolve the exchange width from the session's real parallelism
+        # and the scan's size estimate — never from the sink bucket count
+        parallelism = spark.sparkContext.defaultParallelism
+        try:
+            est_bytes = sum(
+                os.path.getsize(os.path.join(d, f))
+                for d, _, fs in os.walk(args.input)
+                for f in fs
+            ) if os.path.isdir(args.input) else os.path.getsize(args.input)
+        except OSError:
+            est_bytes = None
+        salt_partitions = salt_width(args.buckets, parallelism, est_bytes)
     stats = run(
         spark,
         args.input,
@@ -277,6 +311,7 @@ def main() -> None:
         lang=args.lang or None,
         fresh=args.fresh,
         mode=args.mode,
+        salt_partitions=salt_partitions,
     )
     print(stats)
 
