@@ -7,8 +7,9 @@ For a training-data pipeline the same pattern covers image/audio/video:
 ``content: binary`` + a metadata struct, with decode / feature-extract /
 resize / frame-sample as Arrow-batched stages.
 
-Decode kernels: BMP (24bpp BI_RGB), binary PPM (P6), PNG (8-bit
-gray/RGB/RGBA, non-interlaced — pure stdlib zlib + full filter
+Decode kernels: BMP (24bpp BI_RGB), binary PPM (P6), PNG (every valid
+IHDR shape: gray/RGB/palette/gray+alpha/RGBA, bit depths 1/2/4/8/16,
+non-interlaced and Adam7 — pure stdlib zlib + full filter
 reconstruction incl. Paeth), baseline JPEG (SOF0, 8-bit,
 gray/4:4:4/4:2:2/4:2:0, restart markers — sources/jpeg.py, stdlib +
 numpy) and WAV (RIFF PCM 8/16/24/32-bit + IEEE float 32/64-bit incl.
@@ -116,7 +117,20 @@ def _decode_ppm(b: bytes) -> tuple[int, int, float, float, float]:
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, truecolor, truecolor+alpha
+# samples per pixel by color type: gray, RGB, palette index, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# valid bit depths per color type (PNG spec §11.2.2, table 11.1)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _png_chunks(b: bytes) -> list[tuple[bytes, bytes]]:
@@ -154,17 +168,83 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _png_unfilter_pass(raw: bytes, off: int, wpx: int, hpx: int, channels: int, depth: int):
+    """Unfilter ``hpx`` scanlines of ``wpx`` pixels starting at byte
+    ``off`` of the inflated stream → ((hpx, stride) uint8 array, next
+    offset). The filter byte-delta is ⌈channels·depth/8⌉ clamped to 1,
+    per spec §9.2. Filters 0/2 unfilter vectorized; 1/3/4 carry an
+    intra-row byte dependency and run as per-scanline Python — the
+    quarantine-grade correctness kernel, O(pixels)."""
+    import numpy as np
+
+    stride = (wpx * channels * depth + 7) // 8
+    fbpp = max(1, (channels * depth) // 8)
+    need = (stride + 1) * hpx
+    if len(raw) - off < need:
+        raise CorruptImage("png: raster size mismatch")
+    out = np.zeros((hpx, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(hpx):
+        base = off + y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1)
+        if ftype == 0:  # None
+            rec = line.copy()
+        elif ftype == 2:  # Up
+            rec = line + prev  # uint8 wraps mod 256, per spec
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = bytearray(line.tobytes())
+            pv = prev
+            for x in range(stride):
+                a = rec[x - fbpp] if x >= fbpp else 0
+                if ftype == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (rec[x] + ((a + int(pv[x])) >> 1)) & 0xFF
+                else:
+                    c = int(pv[x - fbpp]) if x >= fbpp else 0
+                    rec[x] = (rec[x] + _paeth(a, int(pv[x]), c)) & 0xFF
+            rec = np.frombuffer(bytes(rec), dtype=np.uint8)
+        else:
+            raise CorruptImage(f"png: unknown filter type {ftype}")
+        out[y] = rec
+        prev = out[y]
+    return out, off + need
+
+
+def _png_samples(rows, wpx: int, channels: int, depth: int):
+    """Packed unfiltered scanline bytes → (h, wpx, channels) uint8
+    samples. Sub-byte depths unpack MSB-first and drop row-padding
+    bits; 16-bit samples reduce to their high byte (the libpng
+    strip-16 convention — exact for v = hi·257, off by at most 1/255
+    otherwise, and pinned as this kernel's contract)."""
+    import numpy as np
+
+    hpx = rows.shape[0]
+    if depth == 8:
+        return rows[:, : wpx * channels].reshape(hpx, wpx, channels)
+    if depth == 16:
+        return rows.reshape(hpx, wpx * channels, 2)[:, :, 0].reshape(hpx, wpx, channels)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    bits = np.unpackbits(rows, axis=1).reshape(hpx, -1, depth)
+    samples = (bits * weights).sum(axis=2).astype(np.uint8)
+    return samples[:, : wpx * channels].reshape(hpx, wpx, channels)
+
+
 def _png_raster(b: bytes):
-    """Real PNG decode, pure stdlib + numpy (VERDICT r03 item 4):
-    chunk/CRC parse → zlib inflate → scanline unfiltering (all five
-    filter types incl. Paeth) → (w, h, color_type, uint8 array of shape
-    (h, w, channels)). Supported: bit depth 8, color types 0/2/6
-    (grayscale / truecolor / truecolor+alpha), non-interlaced — the
-    shapes a crawl actually serves for decodable-without-a-codec PNGs;
-    palette/16-bit/Adam7 raise DecodeUnavailable (honest stub, same
-    contract as compressed formats). Filters 0/2 unfilter vectorized;
-    1/3/4 carry an intra-row byte dependency and run as per-scanline
-    Python — the quarantine-grade correctness kernel, O(pixels)."""
+    """Real PNG decode, pure stdlib + numpy (VERDICT r03 item 4; full
+    shape coverage r05): chunk/CRC parse → zlib inflate → per-pass
+    scanline unfiltering (all five filter types incl. Paeth) → bit
+    unpack / 16-bit strip / palette map → (w, h, color_type, uint8
+    array of shape (h, w, out_channels)). Every valid IHDR shape is
+    supported: color types 0/2/3/4/6, bit depths 1/2/4/8/16 per the
+    spec's validity table, and both interlace methods (Adam7 passes
+    unfilter independently and scatter via strided assignment).
+    Palette output is PLTE-mapped to 3 channels; sub-byte grayscale
+    scales exactly (255 is divisible by 1, 3 and 15); invalid
+    depth/color combos, bad interlace methods, missing/odd PLTE and
+    out-of-range palette indices are spec violations → CorruptImage
+    quarantine (no DecodeUnavailable path remains for PNG)."""
     import struct
     import zlib
 
@@ -178,13 +258,20 @@ def _png_raster(b: bytes):
     )
     if comp != 0 or filt != 0:
         raise CorruptImage("png: bad compression/filter method")
-    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
-        raise DecodeUnavailable(
-            f"png: only 8-bit non-interlaced color type 0/2/6 supported "
-            f"(depth={depth}, color={color}, interlace={interlace})"
+    if color not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[color]:
+        raise CorruptImage(
+            f"png: invalid depth/color combination (depth={depth}, color={color})"
         )
+    if interlace not in (0, 1):
+        raise CorruptImage(f"png: bad interlace method {interlace}")
     if w <= 0 or h <= 0 or w * h > 64_000_000:
         raise CorruptImage("png: implausible dimensions")
+    plte = None
+    if color == 3:
+        pl = [d for t, d in chunks if t == b"PLTE"]
+        if not pl or not pl[0] or len(pl[0]) % 3 or len(pl[0]) > 768:
+            raise CorruptImage("png: missing or malformed PLTE")
+        plte = np.frombuffer(pl[0], dtype=np.uint8).reshape(-1, 3)
     idat = b"".join(d for t, d in chunks if t == b"IDAT")
     if not idat:
         raise CorruptImage("png: no IDAT")
@@ -192,48 +279,38 @@ def _png_raster(b: bytes):
         raw = zlib.decompress(idat)
     except zlib.error as e:
         raise CorruptImage(f"png: idat inflate failed ({e})") from e
-    bpp = _PNG_CHANNELS[color]
-    stride = w * bpp
-    if len(raw) != (stride + 1) * h:
+    channels = _PNG_CHANNELS[color]
+    if interlace == 0:
+        rows, off = _png_unfilter_pass(raw, 0, w, h, channels, depth)
+        px = _png_samples(rows, w, channels, depth)
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _png_unfilter_pass(raw, off, pw, ph, channels, depth)
+            px[y0::dy, x0::dx] = _png_samples(rows, pw, channels, depth)
+    if off != len(raw):
         raise CorruptImage("png: raster size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        )
-        if ftype == 0:  # None
-            rec = line.copy()
-        elif ftype == 2:  # Up
-            rec = line + prev  # uint8 wraps mod 256, per spec
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
-            rec = bytearray(line.tobytes())
-            pv = prev
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    rec[x] = (rec[x] + a) & 0xFF
-                elif ftype == 3:
-                    rec[x] = (rec[x] + ((a + int(pv[x])) >> 1)) & 0xFF
-                else:
-                    c = int(pv[x - bpp]) if x >= bpp else 0
-                    rec[x] = (rec[x] + _paeth(a, int(pv[x]), c)) & 0xFF
-            rec = np.frombuffer(bytes(rec), dtype=np.uint8)
-        else:
-            raise CorruptImage(f"png: unknown filter type {ftype}")
-        out[y] = rec
-        prev = out[y]
-    return w, h, color, out.reshape(h, w, bpp)
+    if color == 3:
+        if int(px.max()) >= plte.shape[0]:
+            raise CorruptImage("png: palette index out of range")
+        px = plte[px[:, :, 0]]
+    elif depth < 8:
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return w, h, color, px
 
 
 def _decode_png(b: bytes) -> tuple[int, int, float, float, float]:
     """PNG → (width, height, mean RGB), same feature contract as the
-    BMP/PPM kernels. Grayscale replicates its mean across channels;
-    alpha is ignored."""
-    w, h, color, arr = _png_raster(b)
-    if color == 0:
-        m = float(arr.mean()) / 255.0
+    BMP/PPM kernels. Gray / gray+alpha replicate the gray mean across
+    channels; alpha is ignored; palette means are over mapped RGB."""
+    w, h, _, arr = _png_raster(b)
+    if arr.shape[2] <= 2:
+        m = float(arr[:, :, 0].mean()) / 255.0
         return w, h, m, m, m
     means = arr[:, :, :3].mean(axis=(0, 1)) / 255.0
     return w, h, float(means[0]), float(means[1]), float(means[2])
@@ -397,10 +474,10 @@ def _decode_rgb_array(b: bytes):
         # bottom-up rows, BGR channel order → top-down RGB
         return rows[::-1, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
     if b[:8] == _PNG_MAGIC:
-        _, _, color, arr = _png_raster(b)
-        if color == 0:  # grayscale → replicate to RGB
-            return np.repeat(arr, 3, axis=2)
-        return arr[:, :, :3]  # RGBA drops alpha
+        _, _, _, arr = _png_raster(b)
+        if arr.shape[2] <= 2:  # gray / gray+alpha → replicate to RGB
+            return np.repeat(arr[:, :, :1], 3, axis=2)
+        return arr[:, :, :3]  # RGBA drops alpha; palette already mapped
     if b[:2] == b"\xff\xd8":
         from oct_report_ocr_spark.sources import jpeg as _jpeg
 
@@ -841,17 +918,84 @@ def make_png(
     seed: int = 0,
     color_type: int = 2,
     row_filters: str | int = "mixed",
+    depth: int = 8,
+    interlace: int = 0,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
     """Deterministic PNG encoder for tests: applies a real per-row
     filter before deflate (``row_filters="mixed"`` cycles all five
     types, exercising every unfilter branch incl. Paeth; an int pins
-    one type). Pixel x of the raster is (seed + x) % 256, so decoded
-    output has a closed-form ground truth independent of the filter."""
+    one type). Sample i of the raster (raster order, all channels
+    flattened) is (seed + i) % 2^depth — or % len(palette) for color
+    type 3 — so decoded output has a closed-form ground truth
+    independent of the filter. Supports every valid IHDR shape the
+    decoder does: depths 1/2/4/8/16, color types 0/2/3/4/6, Adam7
+    (each pass packed and filtered independently, per spec). Output is
+    byte-identical to earlier rounds' encoder for the depth-8
+    non-interlaced shapes (frozen fixtures stay valid)."""
     import struct
     import zlib
 
-    bpp = _PNG_CHANNELS[color_type]
-    stride = w * bpp
+    import numpy as np
+
+    channels = _PNG_CHANNELS[color_type]
+    if color_type == 3 and palette is None:
+        palette = [
+            ((seed * 7 + 3 * i) % 256, (seed * 11 + 5 * i) % 256, (seed * 13 + 7 * i) % 256)
+            for i in range(min(1 << depth, 16))
+        ]
+    mod = len(palette) if color_type == 3 else (1 << depth)
+    flat = np.arange(h * w * channels, dtype=np.int64)
+    px = ((seed + flat) % mod).reshape(h, w, channels)
+
+    def pack_rows(sub) -> list[bytes]:
+        ph, pw = sub.shape[0], sub.shape[1]
+        s = sub.reshape(ph, pw * channels)
+        if depth == 8:
+            return [s[y].astype(np.uint8).tobytes() for y in range(ph)]
+        if depth == 16:
+            return [s[y].astype(">u2").tobytes() for y in range(ph)]
+        pad = (-s.shape[1]) % (8 // depth)
+        rows = []
+        for y in range(ph):
+            vals = np.concatenate([s[y], np.zeros(pad, dtype=np.int64)])
+            bits = ((vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+            rows.append(np.packbits(bits.reshape(-1)).tobytes())
+        return rows
+
+    def filter_pass(sub) -> bytes:
+        rows = pack_rows(sub)
+        fbpp = max(1, (channels * depth) // 8)
+        prev = bytes(len(rows[0])) if rows else b""
+        scanlines = bytearray()
+        for y, row in enumerate(rows):
+            f = (y % 5) if row_filters == "mixed" else int(row_filters)
+            scanlines.append(f)
+            for x in range(len(row)):
+                a = row[x - fbpp] if x >= fbpp else 0
+                if f == 0:
+                    v = row[x]
+                elif f == 1:  # Sub
+                    v = (row[x] - a) & 0xFF
+                elif f == 2:  # Up
+                    v = (row[x] - prev[x]) & 0xFF
+                elif f == 3:  # Average
+                    v = (row[x] - ((a + prev[x]) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = prev[x - fbpp] if x >= fbpp else 0
+                    v = (row[x] - _paeth(a, prev[x], c)) & 0xFF
+                scanlines.append(v)
+            prev = row
+        return bytes(scanlines)
+
+    if interlace == 0:
+        scan = filter_pass(px)
+    else:
+        scan = b"".join(
+            filter_pass(px[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if px[y0::dy, x0::dx].shape[0] and px[y0::dy, x0::dx].shape[1]
+        )
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -861,35 +1005,12 @@ def make_png(
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    raster = bytes((seed + i) % 256 for i in range(stride * h))
-    prev = bytes(stride)
-    scanlines = bytearray()
-    for y in range(h):
-        row = raster[y * stride : (y + 1) * stride]
-        f = (y % 5) if row_filters == "mixed" else int(row_filters)
-        scanlines.append(f)
-        for x in range(stride):
-            a = row[x - bpp] if x >= bpp else 0
-            if f == 0:
-                v = row[x]
-            elif f == 1:  # Sub
-                v = (row[x] - a) & 0xFF
-            elif f == 2:  # Up
-                v = (row[x] - prev[x]) & 0xFF
-            elif f == 3:  # Average
-                v = (row[x] - ((a + prev[x]) >> 1)) & 0xFF
-            else:  # Paeth
-                c = prev[x - bpp] if x >= bpp else 0
-                v = (row[x] - _paeth(a, prev[x], c)) & 0xFF
-            scanlines.append(v)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
-        + chunk(b"IEND", b"")
+    out = _PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     )
+    if color_type == 3:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    return out + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
 
 
 def make_jpeg(w: int, h: int, seed: int = 0, subsampling: str = "420") -> bytes:

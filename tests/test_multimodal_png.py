@@ -83,16 +83,27 @@ def test_png_corruption_quarantines():
         M.decode_image(short)
 
 
-def test_png_unsupported_shapes_raise_decode_unavailable():
+def test_png_invalid_shapes_quarantine():
     def chunk(tag, data):
         return (
             struct.pack(">I", len(data)) + tag + data
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
-    for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+    # r05: every VALID IHDR shape now decodes for real (16-bit, palette,
+    # Adam7 — tests/test_multimodal_png_full.py). What remains here are
+    # spec VIOLATIONS, which are corruption (quarantine), never a silent
+    # wrong decode and no longer DecodeUnavailable:
+    for depth, color, interlace, why in [
+        (3, 0, 0, "depth not in {1,2,4,8,16}"),
+        (4, 2, 0, "truecolor below 8-bit"),
+        (16, 3, 0, "16-bit palette"),
+        (1, 6, 0, "1-bit RGBA"),
+        (8, 1, 0, "color type 1 undefined"),
+        (8, 2, 2, "interlace method 2 undefined"),
+    ]:
         ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace))
         b = M._PNG_MAGIC + ihdr + chunk(b"IDAT", zlib.compress(b"\x00")) + chunk(b"IEND", b"")
-        with pytest.raises(M.DecodeUnavailable):
+        with pytest.raises(M.CorruptImage, match="invalid depth/color|bad interlace"):
             M.decode_image(b)
 
 
