@@ -655,14 +655,116 @@ def frame_sample(media: DataFrame, every_k: int = 2, partitions: int | None = No
 # --------------------------------------------------------------------------
 # Audio decode. WAV (RIFF PCM / IEEE-float) is the audio format that IS
 # feasible pure stdlib+numpy in this container — the same argument that
-# made PNG/JPEG real on the image side. Compressed codecs (MP3, AAC,
-# Opus, ADPCM, a-law/mu-law) stay honest DecodeUnavailable.
+# made PNG/JPEG real on the image side. r05 adds the table/formula
+# codecs that need no library either: ITU-T G.711 a-law/μ-law
+# (companded telephony 8-bit) and IMA/DVI ADPCM (4-bit block-adaptive
+# delta). Codecs genuinely absent from the container (MP3, AAC, Opus,
+# MS-ADPCM) stay honest DecodeUnavailable.
 # --------------------------------------------------------------------------
 
 # WAVE format tags (RIFF spec). 0xFFFE wraps the real tag in a GUID.
 _WAV_PCM, _WAV_FLOAT, _WAV_EXTENSIBLE = 0x0001, 0x0003, 0xFFFE
-_KSDATAFORMAT_PCM = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
-_KSDATAFORMAT_FLOAT = b"\x03\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+_WAV_ALAW, _WAV_MULAW, _WAV_IMA_ADPCM = 0x0006, 0x0007, 0x0011
+# KSDATAFORMAT GUIDs: the 16-bit format tag little-endian + fixed suffix
+_KS_SUFFIX = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+_KSDATAFORMAT_PCM = b"\x01\x00" + _KS_SUFFIX
+_KSDATAFORMAT_FLOAT = b"\x03\x00" + _KS_SUFFIX
+
+
+def _g711_table(tag: int):
+    """256-entry code → linear float64 lookup for ITU-T G.711 (the
+    classic public-domain g711.c formulas, vectorized): μ-law is
+    complement → biased mantissa shift; a-law is XOR 0x55 → segmented
+    expansion. Output normalized by 32768 (μ-law peaks at ±32124,
+    a-law at ±32256 — both inside int16)."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.int32)
+    if tag == _WAV_MULAW:
+        u = ~codes & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        lin = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    else:
+        a = codes ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        base = np.where(seg == 0, t + 8, t + 0x108)
+        lin = np.where(seg >= 2, (t + 0x108) << np.clip(seg - 1, 0, None), base)
+        lin = np.where(a & 0x80, lin, -lin)
+    return lin.astype(np.float64) / 32768.0
+
+
+# IMA/DVI ADPCM quantizer tables (IMA ADPCM reference algorithm, 1992)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM quantizer step: nibble + (predictor, step index) →
+    updated (predictor, step index). Shared verbatim by the decoder and
+    the test encoder so their state machines can never drift."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """IMA ADPCM 'data' chunk → (n_frames, channels) float64 in [-1, 1].
+
+    Block layout per the IMA WAV mapping: each block starts with a
+    4-byte header per channel (int16 predictor = first sample, uint8
+    step index, reserved), then the remaining bytes are 4-byte /
+    8-nibble groups interleaved channel by channel, low nibble first.
+    Per-sample Python loop — the quarantine-grade correctness kernel,
+    same idiom as the PNG left-dependent unfilter; malformed blocks
+    (bad align, short tail, step index > 88) quarantine."""
+    import struct
+
+    import numpy as np
+
+    if block_align < 4 * channels or (block_align - 4 * channels) % (4 * channels):
+        raise CorruptAudio("wav: ima adpcm block align invalid for channel count")
+    if not data or len(data) % block_align:
+        raise CorruptAudio("wav: data size not a whole number of adpcm blocks")
+    groups_per_block = (block_align - 4 * channels) // (4 * channels)
+    out = []
+    for boff in range(0, len(data), block_align):
+        preds, idxs = [], []
+        chans: list[list[int]] = []
+        for c in range(channels):
+            pred, idx, _rsv = struct.unpack_from("<hBB", data, boff + 4 * c)
+            if idx > 88:
+                raise CorruptAudio("wav: adpcm step index out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        body = boff + 4 * channels
+        for g in range(groups_per_block):
+            for c in range(channels):
+                goff = body + (g * channels + c) * 4
+                for byte in data[goff : goff + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_nibble(nib, preds[c], idxs[c])
+                        chans[c].append(preds[c])
+        out.append(np.array(chans, dtype=np.float64).T / 32768.0)
+    return np.concatenate(out, axis=0)
 
 ENVELOPE_DDL = (
     "media_id long, sample_rate int, channels int, n_frames long, "
@@ -676,9 +778,10 @@ def _wav_samples(b: bytes):
 
     Real chunk walk (fmt/data found by iteration, unknown chunks
     skipped, word-aligned sizes honored) — not an offset guess. PCM
-    8/16/24/32-bit and IEEE float 32/64-bit, plus WAVE_FORMAT_EXTENSIBLE
-    wrapping either. Malformed structure raises CorruptAudio;
-    genuinely-unsupported codecs raise DecodeUnavailable."""
+    8/16/24/32-bit, IEEE float 32/64-bit, G.711 a-law/μ-law and
+    IMA/DVI ADPCM, plus WAVE_FORMAT_EXTENSIBLE wrapping any of them.
+    Malformed structure raises CorruptAudio; genuinely-unsupported
+    codecs (MP3/AAC/Opus/MS-ADPCM) raise DecodeUnavailable."""
     import struct
 
     import numpy as np
@@ -714,26 +817,37 @@ def _wav_samples(b: bytes):
         if len(fmt) < 40:
             raise CorruptAudio("wav: extensible fmt truncated")
         guid = fmt[24:40]
-        if guid == _KSDATAFORMAT_PCM:
-            tag = _WAV_PCM
-        elif guid == _KSDATAFORMAT_FLOAT:
-            tag = _WAV_FLOAT
-        else:
+        (sub,) = struct.unpack_from("<H", guid, 0)
+        if guid[2:] != _KS_SUFFIX or sub not in (
+            _WAV_PCM, _WAV_FLOAT, _WAV_ALAW, _WAV_MULAW, _WAV_IMA_ADPCM,
+        ):
             raise DecodeUnavailable("wav: unsupported extensible subformat")
-    if tag not in (_WAV_PCM, _WAV_FLOAT):
-        raise DecodeUnavailable(f"wav: codec 0x{tag:04x} not supported (PCM/float only)")
+        tag = sub
+    if tag not in (_WAV_PCM, _WAV_FLOAT, _WAV_ALAW, _WAV_MULAW, _WAV_IMA_ADPCM):
+        raise DecodeUnavailable(
+            f"wav: codec 0x{tag:04x} not supported (PCM/float/G.711/IMA-ADPCM only)"
+        )
     if channels == 0 or rate == 0:
         raise CorruptAudio("wav: zero channels or sample rate")
     if tag == _WAV_PCM and bits not in (8, 16, 24, 32):
         raise DecodeUnavailable(f"wav: {bits}-bit PCM not supported")
     if tag == _WAV_FLOAT and bits not in (32, 64):
         raise DecodeUnavailable(f"wav: {bits}-bit float not supported")
+    if tag in (_WAV_ALAW, _WAV_MULAW) and bits != 8:
+        raise CorruptAudio(f"wav: G.711 requires 8 bits per sample, got {bits}")
+    if tag == _WAV_IMA_ADPCM:
+        if bits != 4:
+            raise CorruptAudio(f"wav: IMA ADPCM requires 4 bits per sample, got {bits}")
+        return rate, channels, _ima_adpcm_decode(data, channels, block_align)
     frame_bytes = channels * (bits // 8)
     if block_align and block_align != frame_bytes:
         raise CorruptAudio("wav: block align disagrees with channels*bits")
     if len(data) % frame_bytes:
         raise CorruptAudio("wav: data size not a whole number of frames")
     n = len(data) // (bits // 8)
+    if tag in (_WAV_ALAW, _WAV_MULAW):
+        arr = _g711_table(tag)[np.frombuffer(data, dtype=np.uint8, count=n)]
+        return rate, channels, arr.reshape(-1, channels)
     if tag == _WAV_FLOAT:
         arr = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8", count=n).astype(np.float64)
     elif bits == 8:  # 8-bit PCM is unsigned, midpoint 128
@@ -850,7 +964,12 @@ def make_wav(
 ) -> bytes:
     """Deterministic WAV encoder for tests: sample s of channel c is the
     closed-form ramp ((seed + 7*s + 3*c) % 509 - 254) / 254, quantized
-    to the target width — so every decode has an exact ground truth."""
+    to the target width — so every decode has an exact ground truth.
+    fmt: "pcm" (8/16/24/32 per ``bits``), "float" (32/64), "alaw" /
+    "mulaw" (G.711 via exact nearest-code quantization against the
+    decode table), "ima_adpcm" (greedy reference encoder sharing
+    ``_ima_nibble`` with the decoder; 17-sample blocks, input padded
+    to a whole block by repeating the last frame)."""
     import struct
 
     import numpy as np
@@ -858,9 +977,62 @@ def make_wav(
     s = np.arange(n_frames)[:, None]
     c = np.arange(channels)[None, :]
     vals = ((seed + 7 * s + 3 * c) % 509 - 254) / 254.0  # in [-1, 1]
+    block = None
     if fmt == "float":
         data = vals.astype("<f4" if bits == 32 else "<f8").tobytes()
         tag = _WAV_FLOAT
+    elif fmt in ("alaw", "mulaw"):
+        tag = _WAV_ALAW if fmt == "alaw" else _WAV_MULAW
+        table = _g711_table(tag)
+        codes = np.abs(vals.reshape(-1, 1) - table[None, :]).argmin(axis=1)
+        data = codes.astype(np.uint8).tobytes()
+        bits = 8
+    elif fmt == "ima_adpcm":
+        k = 2  # 4-byte nibble groups per channel per block
+        spb = 1 + 8 * k  # samples per block (header carries sample 0)
+        pcm = np.round(vals * 32767).astype(np.int64)
+        pad = (-pcm.shape[0]) % spb
+        if pad:
+            pcm = np.concatenate([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+        # seed each channel's step index near the signal's typical
+        # per-sample delta (the decoder reads it from the block header,
+        # so any choice is valid — this one skips the cold-start
+        # transient a zero index would cause on steep signals)
+        steps = np.array(_IMA_STEP, dtype=np.int64)
+        idxs = [
+            int(np.abs(steps - max(float(np.abs(np.diff(pcm[:, ch_])).mean()), 7.0)).argmin())
+            if pcm.shape[0] > 1 else 0
+            for ch_ in range(channels)
+        ]
+        blocks = bytearray()
+        for b0 in range(0, pcm.shape[0], spb):
+            preds = [int(pcm[b0, ch_]) for ch_ in range(channels)]
+            for ch_ in range(channels):
+                blocks += struct.pack("<hBB", preds[ch_], idxs[ch_], 0)
+            for g in range(k):
+                for ch_ in range(channels):
+                    word = 0
+                    for j in range(8):
+                        sample = int(pcm[b0 + 1 + g * 8 + j, ch_])
+                        step = _IMA_STEP[idxs[ch_]]
+                        diff = sample - preds[ch_]
+                        nib = 8 if diff < 0 else 0
+                        diff = abs(diff)
+                        if diff >= step:
+                            nib |= 4
+                            diff -= step
+                        if diff >= step >> 1:
+                            nib |= 2
+                            diff -= step >> 1
+                        if diff >= step >> 2:
+                            nib |= 1
+                        preds[ch_], idxs[ch_] = _ima_nibble(nib, preds[ch_], idxs[ch_])
+                        word |= nib << (4 * j)
+                    blocks += struct.pack("<I", word)
+        data = bytes(blocks)
+        tag = _WAV_IMA_ADPCM
+        bits = 4
+        block = 4 * channels * (1 + k)
     elif bits == 8:
         data = (np.round(vals * 127) + 128).astype(np.uint8).tobytes()
         tag = _WAV_PCM
@@ -877,9 +1049,10 @@ def make_wav(
         dt = np.int16 if bits == 16 else np.int32
         data = np.round(vals * lim).astype(np.dtype(dt).newbyteorder("<")).tobytes()
         tag = _WAV_PCM
-    block = channels * (bits // 8)
+    if block is None:
+        block = channels * (bits // 8)
     if extensible:
-        guid = _KSDATAFORMAT_FLOAT if tag == _WAV_FLOAT else _KSDATAFORMAT_PCM
+        guid = struct.pack("<H", tag) + _KS_SUFFIX
         fmt_body = struct.pack(
             "<HHIIHHHHI", _WAV_EXTENSIBLE, channels, rate, rate * block, block, bits, 22, bits, 0
         ) + guid

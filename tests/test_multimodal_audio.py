@@ -127,7 +127,8 @@ def test_wav_corruption_matrix():
     struct.pack_into("<I", bad, data_off + 4, struct.unpack_from("<I", good, data_off + 4)[0] - 1)
     with pytest.raises(M.CorruptAudio):
         M._wav_samples(bytes(bad))
-    # ADPCM format tag: honest DecodeUnavailable, not corruption
+    # MS-ADPCM format tag (0x0002, parameterized predictor — unlike
+    # IMA 0x0011 which r05 decodes): honest DecodeUnavailable
     bad = bytearray(good)
     struct.pack_into("<H", bad, 12 + 8, 0x0002)
     with pytest.raises(M.DecodeUnavailable):
