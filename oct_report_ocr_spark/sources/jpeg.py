@@ -2,14 +2,20 @@
 
 Closes the VERDICT r03 "compressed-codec decode" gap one format
 further: after PNG (zlib), JPEG is the format a web crawl actually
-serves. The DECODER handles baseline DCT (SOF0), 8-bit, 1 or 3
+serves. The DECODER handles baseline DCT (SOF0/SOF1), 8-bit, 1 or 3
 components, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling (the JFIF
-shapes), restart markers, and spec or custom Huffman/quant tables;
-progressive (SOF2), arithmetic coding, 12-bit and hierarchical modes
-raise ``DecodeUnavailable`` (honest stub, same contract as the other
-codecs). The ENCODER exists for tests: 4:4:4 baseline with the Annex K
-example tables, so round-trips have a closed-form ground truth and
-golden fixtures need no external tooling.
+shapes), restart markers, spec or custom Huffman/quant tables, and —
+r05 — progressive DCT (SOF2): multi-scan spectral selection +
+successive approximation for both DC and AC bands, EOB runs,
+per-scan restart intervals, non-interleaved AC scans on the true
+component block grid. Arithmetic coding, 12-bit, lossless and
+hierarchical modes raise ``JpegUnsupported`` (honest stub, same
+contract as the other codecs). The ENCODERs exist for tests:
+baseline (``encode_jpeg``) and progressive (``encode_jpeg_progressive``,
+same color path and quantization, so the two streams decode
+bit-identically) with the Annex K example tables, so round-trips have
+a closed-form ground truth and golden fixtures need no external
+tooling.
 
 All block math is vectorized numpy (DCT/IDCT as 8×8 matrix products
 over stacked blocks); only the entropy (Huffman) layer is a Python
@@ -279,7 +285,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise JpegError("jpeg: expected marker")
         marker = b[pos + 1]
@@ -294,7 +300,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             # parsing them as length-prefixed segments misreads the stream
             continue
         if marker == 0xD9:
+            if frame is not None and frame.get("progressive") and frame.get("state"):
+                return _reconstruct_progressive(frame, qt)
             raise JpegError("jpeg: EOI before SOS")
+        if pos + 4 > len(b):
+            raise JpegError("jpeg: truncated segment")
         (seglen,) = struct.unpack_from(">H", b, pos)
         seg = b[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
@@ -325,7 +335,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 o += nvals
                 dec, _ = _build_huffman(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise JpegUnsupported("jpeg: only 8-bit precision")
@@ -337,9 +347,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegUnsupported("jpeg: non-baseline frame (progressive/arithmetic)")
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegUnsupported("jpeg: non-baseline frame (lossless/arithmetic)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -349,10 +359,28 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             scomp = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next((c for c in frame["comps"] if c["id"] == cs), None)
+                comp = next(
+                    (
+                        (ci, c)
+                        for ci, c in enumerate(frame["comps"])
+                        if c["id"] == cs
+                    ),
+                    None,
+                )
                 if comp is None:
                     raise JpegError("jpeg: scan references unknown component")
-                scomp.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
+                scomp.append({**comp[1], "ci": comp[0], "td": tdta >> 4, "ta": tdta & 0xF})
+            if frame["progressive"]:
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                pos = _decode_prog_scan(
+                    b, pos + seglen, frame, scomp,
+                    ss, se, ahal >> 4, ahal & 0xF,
+                    huff_dc, huff_ac, restart_interval,
+                )
+                # resync on the next marker (skip any pad bits/bytes)
+                while pos < len(b) and b[pos] != 0xFF:
+                    pos += 1
+                continue
             if ns != len(frame["comps"]):
                 raise JpegUnsupported("jpeg: multi-scan")
             return _decode_scan(
@@ -360,6 +388,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             )
         # else: APPn/COM — skip
         pos += seglen
+    if frame is not None and frame.get("progressive") and frame.get("state"):
+        raise JpegError("jpeg: truncated progressive stream (no EOI)")
     raise JpegError("jpeg: no SOS marker")
 
 
@@ -403,9 +433,14 @@ def _decode_scan(b, pos, frame, scomp, qt, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
             mcu_count += 1
-    # upsample to full resolution and crop
+    return _assemble_rgb(planes, scomp, hmax, vmax, w, h)
+
+
+def _assemble_rgb(planes, comps, hmax, vmax, w, h):
+    """Upsample component planes to full resolution, crop, and color
+    convert — shared by the baseline and progressive reconstructions."""
     full = []
-    for ci, c in enumerate(scomp):
+    for ci, c in enumerate(comps):
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
@@ -444,6 +479,223 @@ def _decode_block(reader, dc_tbl, ac_tbl, q, pred, ci):
     dq[ZIGZAG] = coeffs * q.reshape(-1)[ZIGZAG]
     blk = dq.reshape(8, 8)
     return _DCT.T @ blk @ _DCT  # IDCT (level shift applied by caller via +128)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode: scans accumulate quantized coefficients in
+# frame["state"]; reconstruction happens at EOI. Implements all four
+# scan kinds of ITU-T T.81 Annex G.1.2 — DC first, DC successive-
+# approximation refinement, AC spectral-selection first (with EOB-run
+# codes), and AC refinement (correction bits + newly-significant
+# coefficients) — plus restart-interval resync in every kind.
+# ---------------------------------------------------------------------------
+
+
+def _frame_geometry(frame):
+    """MCU grid + per-component block counts; cached on the frame."""
+    if "geom" in frame:
+        return frame["geom"]
+    w, h = frame["w"], frame["h"]
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise JpegError("jpeg: implausible dimensions")
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise JpegUnsupported("jpeg: sampling factors beyond 2")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geom = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy, "nb": []}
+    for c in frame["comps"]:
+        # non-interleaved scans cover the component's true block grid;
+        # storage is MCU-padded so interleaved scans index it directly
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        geom["nb"].append((-(-ch // 8), -(-cw // 8)))
+    frame["geom"] = geom
+    return geom
+
+
+def _decode_prog_scan(b, pos, frame, scomp, ss, se, ah, al, huff_dc, huff_ac, dri):
+    """Decode one progressive scan into frame["state"]; returns the
+    byte position just past the scan's entropy-coded data."""
+    geom = _frame_geometry(frame)
+    if "state" not in frame:
+        frame["state"] = [
+            np.zeros((geom["mcuy"] * c["v"], geom["mcux"] * c["h"], 64), dtype=np.int32)
+            for c in frame["comps"]
+        ]
+    if ss > se or se > 63 or al > 13:
+        raise JpegError("jpeg: bad spectral selection / point transform")
+    if ss == 0 and se != 0:
+        raise JpegError("jpeg: DC scan must have Se=0")
+    if ss > 0 and len(scomp) != 1:
+        raise JpegError("jpeg: AC scan must be single-component")
+    reader = _BitReader(b, pos)
+    state = frame["state"]
+    if ss == 0:
+        if ah == 0:
+            for c in scomp:
+                if c["td"] not in huff_dc:
+                    raise JpegError("jpeg: missing table")
+        _prog_dc_scan(reader, frame, scomp, ah, al, huff_dc, dri, geom, state)
+    else:
+        c = scomp[0]
+        if ah == 0 and c["ta"] not in huff_ac:
+            raise JpegError("jpeg: missing table")
+        _prog_ac_scan(reader, c, ss, se, ah, al, huff_ac, dri, geom, state)
+    return reader.pos
+
+
+def _prog_dc_scan(reader, frame, scomp, ah, al, huff_dc, dri, geom, state):
+    pred = [0] * len(scomp)
+    if len(scomp) > 1:  # interleaved: MCU order, all blocks of each comp
+        n = 0
+        for my in range(geom["mcuy"]):
+            for mx in range(geom["mcux"]):
+                if dri and n and n % dri == 0:
+                    reader.align_restart()
+                    pred = [0] * len(scomp)
+                for si, c in enumerate(scomp):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = state[c["ci"]][my * c["v"] + by, mx * c["h"] + bx]
+                            _prog_dc_block(reader, blk, si, c, ah, al, huff_dc, pred)
+                n += 1
+    else:  # single-component DC scan: the component's own block raster
+        c = scomp[0]
+        nby, nbx = geom["nb"][c["ci"]]
+        n = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if dri and n and n % dri == 0:
+                    reader.align_restart()
+                    pred = [0]
+                _prog_dc_block(reader, state[c["ci"]][by, bx], 0, c, ah, al, huff_dc, pred)
+                n += 1
+
+
+def _prog_dc_block(reader, blk, si, c, ah, al, huff_dc, pred):
+    if ah == 0:  # first scan: huffman diff in the point-transformed domain
+        t = _decode_huff(reader, huff_dc[c["td"]])
+        pred[si] += _extend(reader.read_bits(t), t) if t else 0
+        blk[0] = pred[si] << al
+    else:  # refinement: one raw bit restores the next lower magnitude bit
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_scan(reader, c, ss, se, ah, al, huff_ac, dri, geom, state):
+    nby, nbx = geom["nb"][c["ci"]]
+    coefs = state[c["ci"]]
+    ac_tbl = huff_ac.get(c["ta"])
+    eobrun = 0
+    n = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if dri and n and n % dri == 0:
+                reader.align_restart()
+                eobrun = 0
+            blk = coefs[by, bx]
+            if ah == 0:
+                eobrun = _prog_ac_first_block(reader, blk, ss, se, al, ac_tbl, eobrun)
+            else:
+                eobrun = _prog_ac_refine_block(reader, blk, ss, se, al, ac_tbl, eobrun)
+            n += 1
+    if eobrun:
+        raise JpegError("jpeg: EOB run past end of scan")
+
+
+def _prog_ac_first_block(reader, blk, ss, se, al, ac_tbl, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("jpeg: AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine_block(reader, blk, ss, se, al, ac_tbl, eobrun):
+    """Annex G.1.2.3 AC successive approximation: each history-nonzero
+    coefficient in the band gets a correction bit; newly-significant
+    coefficients arrive as (run-of-zero-history, ±1<<al) symbols."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k_):
+        if reader.read_bit() and not (blk[k_] & p1):
+            blk[k_] += p1 if blk[k_] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("jpeg: invalid refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, qt):
+    """Dequantize the accumulated coefficient state, IDCT every block
+    vectorized, and assemble/upsample/color-convert like baseline."""
+    geom = _frame_geometry(frame)
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        if c["tq"] not in qt:
+            raise JpegError("jpeg: missing table")
+        coefs = frame["state"][ci].astype(np.float64)
+        dq = np.zeros_like(coefs)
+        dq[:, :, ZIGZAG] = coefs * qt[c["tq"]].reshape(-1)[ZIGZAG]
+        blocks = dq.reshape(*coefs.shape[:2], 8, 8)
+        spatial = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT)
+        nby, nbx = coefs.shape[:2]
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+    return _assemble_rgb(
+        planes, frame["comps"], geom["hmax"], geom["vmax"], frame["w"], frame["h"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -494,16 +746,9 @@ def _encode_block(bw, blk, q, dct_tbl, act_tbl, pred, ci):
         bw.write(code, ln)
 
 
-def encode_jpeg(
-    rgb: np.ndarray, subsampling: str = "444", restart_interval: int = 0
-) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF bytes.
-
-    ``subsampling``: "444" (one 8×8 block per component per MCU),
-    "420" (16×16 MCU: four Y blocks + box-averaged Cb/Cr — the shape
-    real crawls serve), or "gray" (single component).
-    ``restart_interval``: emit a DRI segment and RSTn markers every N
-    MCUs (exercises the decoder's restart resynchronization)."""
+def _prep_components(rgb: np.ndarray, subsampling: str):
+    """Color convert + subsample + MCU-pad: the shared front half of the
+    baseline and progressive encoders."""
     if subsampling not in ("444", "420", "gray"):
         raise ValueError(f"unknown subsampling {subsampling!r}")
     h, w = rgb.shape[0], rgb.shape[1]
@@ -550,6 +795,22 @@ def encode_jpeg(
     mcuy = -(-h // (8 * vmax))
     for c in comps:
         c["padded"] = _pad_to(c["plane"], mcuy * c["v"] * 8, mcux * c["h"] * 8)
+    return comps, sof_comps, sos_comps, hmax, vmax, mcux, mcuy
+
+
+def encode_jpeg(
+    rgb: np.ndarray, subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes.
+
+    ``subsampling``: "444" (one 8×8 block per component per MCU),
+    "420" (16×16 MCU: four Y blocks + box-averaged Cb/Cr — the shape
+    real crawls serve), or "gray" (single component).
+    ``restart_interval``: emit a DRI segment and RSTn markers every N
+    MCUs (exercises the decoder's restart resynchronization)."""
+    comps, sof_comps, sos_comps, hmax, vmax, mcux, mcuy = _prep_components(
+        rgb, subsampling
+    )
     bw = _BitWriter()
     pred = [0] * len(comps)
     mcu_count = 0
@@ -571,20 +832,274 @@ def encode_jpeg(
                         _encode_block(bw, blk, c["q"], c["dc"], c["ac"], pred, ci)
     bw.flush()
 
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    def dqt(tq, tbl):
-        return seg(0xDB, bytes([tq]) + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
-
-    def dht(tc, th, bits, vals):
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + sof_comps)
-    sos = seg(0xDA, sos_comps + bytes([0, 63, 0]))
-    tables = dqt(0, ql) + dht(0, 0, *DC_LUMA) + dht(1, 0, *AC_LUMA)
+    h, w = rgb.shape[0], rgb.shape[1]
+    sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + sof_comps)
+    sos = _seg(0xDA, sos_comps + bytes([0, 63, 0]))
+    tables = _dqt(0, QUANT_LUMA.reshape(8, 8)) + _dht(0, 0, *DC_LUMA) + _dht(1, 0, *AC_LUMA)
     if subsampling != "gray":
-        tables += dqt(1, qc) + dht(0, 1, *DC_CHROMA) + dht(1, 1, *AC_CHROMA)
+        tables += _dqt(1, QUANT_CHROMA.reshape(8, 8)) + _dht(0, 1, *DC_CHROMA) + _dht(1, 1, *AC_CHROMA)
     if restart_interval:
-        tables += seg(0xDD, struct.pack(">H", restart_interval))
+        tables += _seg(0xDD, struct.pack(">H", restart_interval))
     return b"\xff\xd8" + tables + sof + sos + bytes(bw.out) + b"\xff\xd9"
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt(tq, tbl):
+    return _seg(0xDB, bytes([tq]) + bytes(int(x) for x in tbl.reshape(-1)[ZIGZAG]))
+
+
+def _dht(tc, th, bits, vals):
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (tests/fixtures only). Emits a scan script that
+# exercises every Annex G scan kind the decoder implements: interleaved
+# DC first + DC refinement, per-component AC spectral-selection first
+# scans (with real EOB-run codes) and AC refinement (correction bits,
+# newly-significant coefficients, ZRL-in-refinement). Because the
+# quantized coefficients are identical to the baseline encoder's, the
+# progressive stream must decode to the SAME pixels bit-for-bit — the
+# oracle tests/test_jpeg_progressive.py pins.
+# ---------------------------------------------------------------------------
+
+# A fixed valid canonical AC table holding every symbol a progressive
+# AC scan can emit: EOBn for n=0..14, ZRL, and (run<<4 | size) for
+# size 1..10 — all at 8 bits (176 of 256 slots; size is irrelevant for
+# test streams, validity is what matters).
+_PROG_AC_VALS = (
+    [n << 4 for n in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ProgACWriter:
+    """Per-scan entropy state for progressive AC encoding: the EOB-run
+    counter plus libjpeg's two correction-bit buffers — ``run_corr``
+    (bits belonging to blocks inside the pending EOB run, emitted right
+    after the EOBn symbol) and ``cur_corr`` (bits of the current block
+    since the last symbol, emitted right after the NEXT ZRL/significant
+    symbol). Conflating them desyncs the decoder at run boundaries."""
+
+    def __init__(self, bw: _BitWriter, enc_tbl: dict):
+        self.bw = bw
+        self.tbl = enc_tbl
+        self.eobrun = 0
+        self.run_corr: list[int] = []
+        self.cur_corr: list[int] = []
+
+    def sym(self, v: int) -> None:
+        code, ln = self.tbl[v]
+        self.bw.write(code, ln)
+
+    def emit_cur(self) -> None:
+        for bit in self.cur_corr:
+            self.bw.write(bit, 1)
+        self.cur_corr = []
+
+    def end_block(self, pending: bool) -> None:
+        if pending:
+            self.eobrun += 1
+            self.run_corr += self.cur_corr
+            self.cur_corr = []
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self.sym(n << 4)
+            if n:
+                self.bw.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+            for bit in self.run_corr:
+                self.bw.write(bit, 1)
+            self.run_corr = []
+
+
+def _enc_ac_first_block(w: _ProgACWriter, zz, ss: int, se: int, al: int) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = -((-v) >> al) if v < 0 else (v >> al)  # point transform: toward zero
+        if v == 0:
+            r += 1
+            continue
+        w.flush_eobrun()
+        while r > 15:
+            w.sym(0xF0)
+            r -= 16
+        s = _category(v)
+        w.sym((r << 4) | s)
+        w.bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    w.end_block(r > 0)  # trailing zeros fold into the cross-block EOB run
+
+
+def _enc_ac_refine_block(w: _ProgACWriter, zz, ss: int, se: int, al: int) -> None:
+    absv = [abs(int(zz[k])) >> al for k in range(se + 1)]
+    eob = max((k for k in range(ss, se + 1) if absv[k] == 1), default=ss - 1)
+    r = 0
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            w.flush_eobrun()
+            w.sym(0xF0)
+            r -= 16
+            w.emit_cur()  # bits buffered since the last symbol trail it
+        if t > 1:  # history-nonzero: buffer its correction bit
+            w.cur_corr.append(t & 1)
+            continue
+        w.flush_eobrun()
+        w.sym((r << 4) | 1)
+        w.bw.write(1 if int(zz[k]) > 0 else 0, 1)
+        w.emit_cur()
+        r = 0
+    w.end_block(r > 0 or bool(w.cur_corr))
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    al_dc: int = 1,
+    al_ac: int = 1,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes.
+
+    Same color path, quantization and tables as encode_jpeg, so the
+    pixels decode bit-identically to the baseline stream. Scan script:
+    interleaved DC first (Al=al_dc), per-component AC first scans split
+    at Ss=6 (Al=al_ac), then DC and AC successive-approximation
+    refinement scans down to Al=0. ``restart_interval`` applies per
+    scan (MCUs for the DC scans, blocks for AC scans)."""
+    comps, sof_comps, _, hmax, vmax, mcux, mcuy = _prep_components(rgb, subsampling)
+    h, w = rgb.shape[0], rgb.shape[1]
+    # quantize every padded block once, store zigzag-ordered coefficients
+    for c in comps:
+        p = c["padded"]
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,kl->abil", _DCT, blocks, _DCT.T)
+        qc = np.round(coef / c["q"]).astype(np.int32).reshape(nby, nbx, 64)
+        c["zz"] = qc[:, :, ZIGZAG]
+        # true (non-MCU-padded) block grid for non-interleaved AC scans
+        ph = -(-h * c["v"] // vmax)
+        pw = -(-w * c["h"] // hmax)
+        c["nb"] = (-(-ph // 8), -(-pw // 8))
+
+    prog_ac_enc = _build_huffman(_PROG_AC_BITS, _PROG_AC_VALS)[1]
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, QUANT_LUMA.reshape(8, 8)) + _dht(0, 0, *DC_LUMA)
+    if subsampling != "gray":
+        out += _dqt(1, QUANT_CHROMA.reshape(8, 8)) + _dht(0, 1, *DC_CHROMA)
+    out += _dht(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + sof_comps)
+
+    rst_state = [0]
+
+    def rst(bw):
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + rst_state[0]])
+        rst_state[0] = (rst_state[0] + 1) % 8
+
+    def sos(comp_specs, ss, se, ah, al, body):
+        hdr = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            hdr += bytes([cid, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, hdr) + body
+
+    # --- scan 1: interleaved DC first, point transform al_dc
+    bw = _BitWriter()
+    rst_state[0] = 0
+    pred = [0] * len(comps)
+    n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n and n % restart_interval == 0:
+                rst(bw)
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(c["zz"][my * c["v"] + by, mx * c["h"] + bx, 0]) >> al_dc
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t = _category(diff)
+                        code, ln = c["dc"][t]
+                        bw.write(code, ln)
+                        if t:
+                            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            n += 1
+    bw.flush()
+    specs = [(i + 1, (0 if i == 0 else 1), 0) for i in range(len(comps))]
+    out += sos(specs, 0, 0, 0, al_dc, bytes(bw.out))
+
+    # --- AC first scans: per component, split spectral bands
+    for ci, c in enumerate(comps):
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            rst_state[0] = 0
+            wtr = _ProgACWriter(bw, prog_ac_enc)
+            nby, nbx = c["nb"]
+            n = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and n and n % restart_interval == 0:
+                        wtr.flush_eobrun()
+                        rst(bw)
+                    _enc_ac_first_block(wtr, c["zz"][by, bx], ss, se, al_ac)
+                    n += 1
+            wtr.flush_eobrun()
+            bw.flush()
+            out += sos([(ci + 1, 0, 0)], ss, se, 0, al_ac, bytes(bw.out))
+
+    # --- DC refinement scans: al_dc-1 .. 0, one raw bit per block
+    for al in range(al_dc - 1, -1, -1):
+        bw = _BitWriter()
+        rst_state[0] = 0
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n and n % restart_interval == 0:
+                    rst(bw)
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc = int(c["zz"][my * c["v"] + by, mx * c["h"] + bx, 0])
+                            bw.write((dc >> al) & 1, 1)
+                n += 1
+        bw.flush()
+        out += sos(specs, 0, 0, al + 1, al, bytes(bw.out))
+
+    # --- AC refinement scans: per component, al_ac-1 .. 0
+    for al in range(al_ac - 1, -1, -1):
+        for ci, c in enumerate(comps):
+            bw = _BitWriter()
+            rst_state[0] = 0
+            wtr = _ProgACWriter(bw, prog_ac_enc)
+            nby, nbx = c["nb"]
+            n = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and n and n % restart_interval == 0:
+                        wtr.flush_eobrun()
+                        rst(bw)
+                    _enc_ac_refine_block(wtr, c["zz"][by, bx], 1, 63, al)
+                    n += 1
+            wtr.flush_eobrun()
+            bw.flush()
+            out += sos([(ci + 1, 0, 0)], 1, 63, al + 1, al, bytes(bw.out))
+
+    return bytes(out) + b"\xff\xd9"

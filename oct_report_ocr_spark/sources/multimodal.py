@@ -10,12 +10,13 @@ resize / frame-sample as Arrow-batched stages.
 Decode kernels: BMP (24bpp BI_RGB), binary PPM (P6), PNG (every valid
 IHDR shape: gray/RGB/palette/gray+alpha/RGBA, bit depths 1/2/4/8/16,
 non-interlaced and Adam7 — pure stdlib zlib + full filter
-reconstruction incl. Paeth), baseline JPEG (SOF0, 8-bit,
-gray/4:4:4/4:2:2/4:2:0, restart markers — sources/jpeg.py, stdlib +
-numpy) and WAV (RIFF PCM 8/16/24/32-bit + IEEE float 32/64-bit incl.
+reconstruction incl. Paeth), JPEG (baseline SOF0/SOF1 AND progressive
+SOF2, 8-bit, gray/4:4:4/4:2:2/4:2:0, restart markers —
+sources/jpeg.py, stdlib + numpy) and WAV (RIFF PCM 8/16/24/32-bit +
+IEEE float 32/64-bit + G.711 a-law/mu-law + IMA ADPCM incl.
 WAVE_FORMAT_EXTENSIBLE — real chunk walk) are REAL; formats whose
-codecs are genuinely absent from this container (progressive JPEG,
-WebP, MP3/AAC/Opus/ADPCM, real video codecs) raise
+codecs are genuinely absent from this container (WebP,
+MP3/AAC/Opus, real video codecs) raise
 ``DecodeUnavailable`` or use a deterministic fake. Everything
 Spark-side is real and tested either way: schema, partitioning,
 mapInPandas signature, batch shape, error quarantine (D9 semantics).
@@ -338,10 +339,10 @@ def decode_image(content: bytes) -> tuple[int, int, float, float, float]:
     per VERDICT r03 items 3/4): zero-external-dep kernels for
     uncompressed BMP (24bpp BI_RGB), binary PPM (P6), PNG (8-bit
     gray/RGB/RGBA, non-interlaced; zlib + full filter reconstruction
-    incl. Paeth) and baseline JPEG (SOF0, 8-bit, gray/4:4:4/4:2:2/
-    4:2:0, restart markers; sources/jpeg.py) →
+    incl. Paeth) and JPEG (baseline SOF0/SOF1 + progressive SOF2,
+    8-bit, gray/4:4:4/4:2:2/4:2:0, restart markers; sources/jpeg.py) →
     (width, height, mean_r, mean_g, mean_b). Remaining formats
-    (progressive JPEG, WebP, audio/video codecs) raise
+    (WebP, lossless/arithmetic JPEG, audio/video codecs) raise
     DecodeUnavailable; the Spark-side plumbing treats both exception
     classes identically (fake-feature fallback vs quarantine is the
     caller's choice)."""
@@ -1199,10 +1200,23 @@ def make_jpeg(w: int, h: int, seed: int = 0, subsampling: str = "420") -> bytes:
     return encode_jpeg(arr, subsampling=subsampling)
 
 
+def make_jpeg_progressive(w: int, h: int, seed: int = 0, subsampling: str = "420") -> bytes:
+    """Deterministic progressive (SOF2) JPEG for tests — same pixels as
+    make_jpeg(w, h, seed), so the two decode bit-identically."""
+    import numpy as np
+
+    from oct_report_ocr_spark.sources.jpeg import encode_jpeg_progressive
+
+    arr = np.frombuffer(
+        bytes((seed + i) % 256 for i in range(w * h * 3)), dtype=np.uint8
+    ).reshape(h, w, 3)
+    return encode_jpeg_progressive(arr, subsampling=subsampling)
+
+
 def synth_media(spark, n: int = 64):
     """Deterministic fake media table for tests (binary payload sizes
     deliberately skewed, one empty payload per 16). Every 5th image row
-    carries a REAL decodable payload (rotating BMP/PPM/PNG/JPEG) so the
+    carries a REAL decodable payload (rotating BMP/PPM/PNG/baseline-JPEG/progressive-JPEG) so the
     real decode kernel is exercised in the distributed path; every 13th
     image row is a corrupt BMP (quarantine path). Audio rows mirror the
     scheme with WAV payloads (rotating 8/16/24-bit PCM and 32-bit
@@ -1217,7 +1231,7 @@ def synth_media(spark, n: int = 64):
             if i % 13 == 0:
                 payload = b"BM" + payload[:40]  # corrupt: truncated header
             elif i % 5 == 0:
-                maker = (make_bmp, make_ppm, make_png, make_jpeg)[(i // 15) % 4]
+                maker = (make_bmp, make_ppm, make_png, make_jpeg, make_jpeg_progressive)[(i // 15) % 5]
                 payload = maker(8 + i % 16, 4 + i % 8, seed=i)
         if i % 16 and i % 3 == 1:  # kind == "audio" rows
             if i % 13 == 0:

@@ -1,7 +1,9 @@
-"""Baseline JPEG codec (sources/jpeg.py): round-trips across
+"""JPEG codec (sources/jpeg.py): baseline round-trips across
 subsampling modes, restart markers, golden-pinned committed fixtures,
-corruption quarantine, honest DecodeUnavailable for non-baseline
-streams. The distributed-path coverage lives in
+corruption quarantine, honest DecodeUnavailable for unsupported modes,
+and (r05) the progressive SOF2 decoder pinned bit-identical to the
+baseline decode of the same pixels across spectral-selection /
+successive-approximation / restart variants. The distributed-path coverage lives in
 test_multimodal_streaming.py (synth_media rotates JPEG payloads
 through featurize/resize).
 
@@ -21,6 +23,7 @@ from oct_report_ocr_spark.sources.jpeg import (
     JpegUnsupported,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "multimodal")
@@ -106,12 +109,20 @@ def test_jpeg_corruption_quarantines():
 
 def test_jpeg_non_baseline_raises_unavailable():
     good = encode_jpeg(_ramp(16, 16, 3))
-    # rewrite SOF0 marker to SOF2 (progressive)
     i = good.index(b"\xff\xc0")
-    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    # SOF3 (lossless) stays an honest unsupported mode
+    lossless = good[:i] + b"\xff\xc3" + good[i + 2 :]
     with pytest.raises(JpegUnsupported):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
     with pytest.raises(M.DecodeUnavailable):
+        M.decode_image(lossless)
+    # r05: SOF2 is now DECODED; a baseline stream merely relabeled as
+    # progressive carries an illegal scan header (Ss=0 with Se=63) and
+    # must quarantine as corrupt rather than decode wrong
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    with pytest.raises(JpegError, match="DC scan must have Se=0"):
+        decode_jpeg(prog)
+    with pytest.raises(M.CorruptImage):
         M.decode_image(prog)
 
 
@@ -135,3 +146,72 @@ def test_jpeg_standalone_markers_in_header_skipped():
     for injected in (b"\xff\x01", b"\xff\xd0", b"\xff\xd7", b"\xff\xff", b"\xff\xff\xff\x01"):
         stream = good[:2] + injected + good[2:]
         assert np.array_equal(decode_jpeg(stream), base), injected.hex()
+
+
+# --- progressive (SOF2) — r05 ---------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["444", "420", "gray"])
+@pytest.mark.parametrize("dims", [(8, 8), (16, 24), (13, 21), (1, 1), (9, 50)])
+def test_progressive_decodes_bit_identical_to_baseline(mode, dims):
+    """encode_jpeg_progressive shares the color path + quantization
+    with encode_jpeg, so the SOF2 stream must decode to exactly the
+    pixels the SOF0 stream does — a closed-form ground truth for the
+    multi-scan decoder (spectral selection, successive approximation,
+    EOB runs) with no external tooling."""
+    h, w = dims
+    img = _ramp(h, w, seed=h * 17 + w)
+    base = decode_jpeg(encode_jpeg(img, subsampling=mode))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=mode))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_successive_approximation_depths():
+    """Al depth 0 (no refinement scans) through 2 (two refinement
+    rounds per band) all reconstruct the same coefficients."""
+    img = _ramp(24, 40, seed=5)
+    base = decode_jpeg(encode_jpeg(img, "420"))
+    for al_dc in (0, 1, 2):
+        for al_ac in (0, 1, 2):
+            s = encode_jpeg_progressive(img, "420", al_dc=al_dc, al_ac=al_ac)
+            assert np.array_equal(decode_jpeg(s), base), (al_dc, al_ac)
+
+
+def test_progressive_restart_markers_bit_identical():
+    """Per-scan restart intervals (MCU-counted in DC scans,
+    block-counted in the non-interleaved AC scans) resync the bit
+    reader and DC predictors without changing a pixel."""
+    img = _ramp(40, 56, seed=11)
+    base = decode_jpeg(encode_jpeg(img, "420"))
+    for ri in (1, 3, 7):
+        s = encode_jpeg_progressive(img, "420", restart_interval=ri)
+        assert np.array_equal(decode_jpeg(s), base)
+
+
+def test_progressive_random_content_roundtrip():
+    rng = np.random.default_rng(42)
+    for mode in ("444", "420", "gray"):
+        img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsampling=mode))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=mode))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_through_decode_image():
+    """The Spark-side featurize path accepts SOF2 payloads now — same
+    features as the baseline encoding of the same pixels."""
+    img = _ramp(20, 14, seed=8)
+    assert M.decode_image(encode_jpeg_progressive(img, "420")) == M.decode_image(
+        encode_jpeg(img, "420")
+    )
+
+
+def test_progressive_corruption_quarantines():
+    good = encode_jpeg_progressive(_ramp(16, 16, 3))
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:-20])  # final scan cut short
+    # missing EOI: scans parse but the frame is never committed
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:-2])
+    with pytest.raises(M.CorruptImage):
+        M.decode_image(good[:-20])

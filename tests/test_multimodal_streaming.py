@@ -49,7 +49,8 @@ def test_multimodal_real_decode_in_distributed_path(spark):
                 multimodal.make_ppm,
                 multimodal.make_png,
                 multimodal.make_jpeg,
-            )[(i // 15) % 4]
+                multimodal.make_jpeg_progressive,
+            )[(i // 15) % 5]
             payload = maker(w, h, seed=i)
             want = multimodal.image_feature(payload)
             # array<float> is float32 — compare at float32 precision
@@ -113,7 +114,8 @@ def test_resize_distributed_with_quarantine(spark):
                 multimodal.make_ppm,
                 multimodal.make_png,
                 multimodal.make_jpeg,
-            )[(i // 15) % 4]
+                multimodal.make_jpeg_progressive,
+            )[(i // 15) % 5]
             want = multimodal.resize_image(
                 maker(8 + i % 16, 4 + i % 8, seed=i), 4, 4
             )
