@@ -13,8 +13,8 @@ non-interlaced and Adam7 — pure stdlib zlib + full filter
 reconstruction incl. Paeth), JPEG (baseline SOF0/SOF1 AND progressive
 SOF2, 8-bit, gray/4:4:4/4:2:2/4:2:0, restart markers —
 sources/jpeg.py, stdlib + numpy) and WAV (RIFF PCM 8/16/24/32-bit +
-IEEE float 32/64-bit + G.711 a-law/mu-law + IMA ADPCM incl.
-WAVE_FORMAT_EXTENSIBLE — real chunk walk) are REAL; formats whose
+IEEE float 32/64-bit + G.711 a-law/mu-law + IMA ADPCM + MS ADPCM
+incl. WAVE_FORMAT_EXTENSIBLE — real chunk walk) are REAL; formats whose
 codecs are genuinely absent from this container (WebP,
 MP3/AAC/Opus, real video codecs) raise
 ``DecodeUnavailable`` or use a deterministic fake. Everything
@@ -659,13 +659,15 @@ def frame_sample(media: DataFrame, every_k: int = 2, partitions: int | None = No
 # made PNG/JPEG real on the image side. r05 adds the table/formula
 # codecs that need no library either: ITU-T G.711 a-law/μ-law
 # (companded telephony 8-bit) and IMA/DVI ADPCM (4-bit block-adaptive
-# delta). Codecs genuinely absent from the container (MP3, AAC, Opus,
-# MS-ADPCM) stay honest DecodeUnavailable.
+# delta) and Microsoft ADPCM (4-bit, two-sample linear predictor with
+# a per-block coefficient choice). Codecs genuinely absent from the
+# container (MP3, AAC, Opus) stay honest DecodeUnavailable.
 # --------------------------------------------------------------------------
 
 # WAVE format tags (RIFF spec). 0xFFFE wraps the real tag in a GUID.
 _WAV_PCM, _WAV_FLOAT, _WAV_EXTENSIBLE = 0x0001, 0x0003, 0xFFFE
 _WAV_ALAW, _WAV_MULAW, _WAV_IMA_ADPCM = 0x0006, 0x0007, 0x0011
+_WAV_MS_ADPCM = 0x0002
 # KSDATAFORMAT GUIDs: the 16-bit format tag little-endian + fixed suffix
 _KS_SUFFIX = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 _KSDATAFORMAT_PCM = b"\x01\x00" + _KS_SUFFIX
@@ -767,6 +769,113 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
         out.append(np.array(chans, dtype=np.float64).T / 32768.0)
     return np.concatenate(out, axis=0)
 
+
+# Microsoft ADPCM fixed tables (RIFF/WAVE spec, WAVE_FORMAT_ADPCM).
+# The first 7 coefficient pairs are mandated by the format; encoders
+# may append more via the fmt-chunk extension.
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232))
+
+
+def _ms_trunc256(q: int) -> int:
+    """C-style truncation toward zero of q/256 — the spec's integer
+    division, NOT an arithmetic shift (they differ on negatives)."""
+    return q // 256 if q >= 0 else -((-q) // 256)
+
+
+def _ms_nibble(nib: int, s1: int, s2: int, delta: int, c1: int, c2: int):
+    """One MS ADPCM step: unsigned nibble + (sample1, sample2, delta)
+    → (new sample, new delta). Shared verbatim by the decoder and the
+    test encoder so their state machines can never drift."""
+    signed = nib - 16 if nib >= 8 else nib
+    pred = _ms_trunc256(s1 * c1 + s2 * c2) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = (_MS_ADAPT[nib] * delta) // 256
+    return pred, max(16, delta)
+
+
+def _ms_adpcm_coefs(fmt: bytes):
+    """Coefficient pairs from the fmt-chunk extension (cbSize +
+    wSamplesPerBlock + wNumCoef + pairs); the spec's fixed 7 when the
+    extension is absent (e.g. WAVE_FORMAT_EXTENSIBLE wrapping). A
+    declared-but-truncated extension quarantines. Returns
+    (coefs, samples_per_block_or_None)."""
+    import struct
+
+    if len(fmt) < 18:
+        return _MS_COEFS, None
+    (cb,) = struct.unpack_from("<H", fmt, 16)
+    if cb == 0:
+        return _MS_COEFS, None
+    if cb < 4 or len(fmt) < 18 + cb:
+        raise CorruptAudio("wav: ms adpcm fmt extension truncated")
+    spb, ncoef = struct.unpack_from("<HH", fmt, 18)
+    if ncoef < 1 or cb < 4 + 4 * ncoef:
+        raise CorruptAudio("wav: ms adpcm coefficient table truncated")
+    coefs = tuple(
+        struct.unpack_from("<hh", fmt, 22 + 4 * i) for i in range(ncoef)
+    )
+    return coefs, spb
+
+
+def _ms_adpcm_decode(data: bytes, channels: int, block_align: int, fmt: bytes):
+    """MS ADPCM 'data' chunk → (n_frames, channels) float64 in [-1, 1].
+
+    Block layout per the RIFF spec: per channel a uint8 predictor index
+    (into the coefficient table), then per channel an int16 initial
+    delta, an int16 sample1 and an int16 sample2; sample2/sample1 are
+    the block's first two output frames, then each remaining byte holds
+    two 4-bit codes HIGH nibble first, channel-interleaved per frame.
+    Per-sample Python loop — the quarantine-grade correctness kernel,
+    same idiom as the IMA decoder; malformed blocks (align too small,
+    predictor index past the table, partial trailing block) quarantine."""
+    import struct
+
+    import numpy as np
+
+    coefs, spb_declared = _ms_adpcm_coefs(fmt)
+    hdr = 7 * channels
+    if block_align <= hdr:
+        raise CorruptAudio("wav: ms adpcm block align too small for header")
+    if not data or len(data) % block_align:
+        raise CorruptAudio("wav: data size not a whole number of adpcm blocks")
+    nib_frames = (block_align - hdr) * 2 // channels
+    if (block_align - hdr) * 2 % channels:
+        raise CorruptAudio("wav: ms adpcm block align misfits channel count")
+    if spb_declared is not None and spb_declared != nib_frames + 2:
+        raise CorruptAudio("wav: ms adpcm samples-per-block disagrees with block align")
+    out = []
+    for boff in range(0, len(data), block_align):
+        pred_i, deltas, s1, s2 = [], [], [], []
+        for c in range(channels):
+            k = data[boff + c]
+            if k >= len(coefs):
+                raise CorruptAudio("wav: ms adpcm predictor index out of range")
+            pred_i.append(k)
+        for c in range(channels):
+            deltas.append(struct.unpack_from("<h", data, boff + channels + 2 * c)[0])
+        for c in range(channels):
+            s1.append(struct.unpack_from("<h", data, boff + 3 * channels + 2 * c)[0])
+        for c in range(channels):
+            s2.append(struct.unpack_from("<h", data, boff + 5 * channels + 2 * c)[0])
+        chans: list[list[int]] = [[s2[c], s1[c]] for c in range(channels)]
+        nib_iter = (
+            (byte >> 4) if half == 0 else (byte & 0x0F)
+            for byte in data[boff + hdr : boff + block_align]
+            for half in (0, 1)
+        )
+        for _f in range(nib_frames):
+            for c in range(channels):
+                nib = next(nib_iter)
+                c1, c2 = coefs[pred_i[c]]
+                new, deltas[c] = _ms_nibble(nib, s1[c], s2[c], deltas[c], c1, c2)
+                s2[c], s1[c] = s1[c], new
+                chans[c].append(new)
+        out.append(np.array(chans, dtype=np.float64).T / 32768.0)
+    return np.concatenate(out, axis=0)
+
 ENVELOPE_DDL = (
     "media_id long, sample_rate int, channels int, n_frames long, "
     "duration_s double, envelope array<float>, decode_error string"
@@ -779,10 +888,11 @@ def _wav_samples(b: bytes):
 
     Real chunk walk (fmt/data found by iteration, unknown chunks
     skipped, word-aligned sizes honored) — not an offset guess. PCM
-    8/16/24/32-bit, IEEE float 32/64-bit, G.711 a-law/μ-law and
-    IMA/DVI ADPCM, plus WAVE_FORMAT_EXTENSIBLE wrapping any of them.
-    Malformed structure raises CorruptAudio; genuinely-unsupported
-    codecs (MP3/AAC/Opus/MS-ADPCM) raise DecodeUnavailable."""
+    8/16/24/32-bit, IEEE float 32/64-bit, G.711 a-law/μ-law,
+    IMA/DVI ADPCM and Microsoft ADPCM, plus WAVE_FORMAT_EXTENSIBLE
+    wrapping any of them. Malformed structure raises CorruptAudio;
+    genuinely-unsupported codecs (MP3/AAC/Opus) raise
+    DecodeUnavailable."""
     import struct
 
     import numpy as np
@@ -821,12 +931,19 @@ def _wav_samples(b: bytes):
         (sub,) = struct.unpack_from("<H", guid, 0)
         if guid[2:] != _KS_SUFFIX or sub not in (
             _WAV_PCM, _WAV_FLOAT, _WAV_ALAW, _WAV_MULAW, _WAV_IMA_ADPCM,
+            _WAV_MS_ADPCM,
         ):
             raise DecodeUnavailable("wav: unsupported extensible subformat")
         tag = sub
-    if tag not in (_WAV_PCM, _WAV_FLOAT, _WAV_ALAW, _WAV_MULAW, _WAV_IMA_ADPCM):
+        # the extension bytes belong to the EXTENSIBLE struct (valid
+        # bits + channel mask + GUID), not to the wrapped codec — MS
+        # ADPCM must fall back to the spec's fixed coefficient table
+        fmt = fmt[:16]
+    if tag not in (
+        _WAV_PCM, _WAV_FLOAT, _WAV_ALAW, _WAV_MULAW, _WAV_IMA_ADPCM, _WAV_MS_ADPCM,
+    ):
         raise DecodeUnavailable(
-            f"wav: codec 0x{tag:04x} not supported (PCM/float/G.711/IMA-ADPCM only)"
+            f"wav: codec 0x{tag:04x} not supported (PCM/float/G.711/ADPCM only)"
         )
     if channels == 0 or rate == 0:
         raise CorruptAudio("wav: zero channels or sample rate")
@@ -840,6 +957,10 @@ def _wav_samples(b: bytes):
         if bits != 4:
             raise CorruptAudio(f"wav: IMA ADPCM requires 4 bits per sample, got {bits}")
         return rate, channels, _ima_adpcm_decode(data, channels, block_align)
+    if tag == _WAV_MS_ADPCM:
+        if bits != 4:
+            raise CorruptAudio(f"wav: MS ADPCM requires 4 bits per sample, got {bits}")
+        return rate, channels, _ms_adpcm_decode(data, channels, block_align, fmt)
     frame_bytes = channels * (bits // 8)
     if block_align and block_align != frame_bytes:
         raise CorruptAudio("wav: block align disagrees with channels*bits")
@@ -970,7 +1091,10 @@ def make_wav(
     "mulaw" (G.711 via exact nearest-code quantization against the
     decode table), "ima_adpcm" (greedy reference encoder sharing
     ``_ima_nibble`` with the decoder; 17-sample blocks, input padded
-    to a whole block by repeating the last frame)."""
+    to a whole block by repeating the last frame), "ms_adpcm" (greedy
+    encoder sharing ``_ms_nibble``; tries all 7 coefficient pairs per
+    block per channel and keeps the lowest-error predictor; 16-sample
+    blocks, same padding rule)."""
     import struct
 
     import numpy as np
@@ -1034,6 +1158,53 @@ def make_wav(
         tag = _WAV_IMA_ADPCM
         bits = 4
         block = 4 * channels * (1 + k)
+    elif fmt == "ms_adpcm":
+        spb = 16  # 2 header samples + 14 coded → 7 nibble bytes/channel
+        pcm = np.round(vals * 32767).astype(np.int64)
+        pad = (-pcm.shape[0]) % spb
+        if pad:
+            pcm = np.concatenate([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+        blocks = bytearray()
+        for b0 in range(0, pcm.shape[0], spb):
+            blk = pcm[b0 : b0 + spb]
+            # per channel: greedy-encode under every coefficient pair,
+            # keep the lowest-error predictor (exercises the whole table)
+            best = []
+            for ch_ in range(channels):
+                init_delta = max(16, int(np.abs(np.diff(blk[:, ch_])).mean() / 4) if spb > 1 else 16)
+                cand = None
+                for k_, (c1, c2) in enumerate(_MS_COEFS):
+                    s1, s2, delta = int(blk[1, ch_]), int(blk[0, ch_]), init_delta
+                    nibs, err = [], 0
+                    for t in range(2, spb):
+                        want = int(blk[t, ch_])
+                        base = _ms_trunc256(s1 * c1 + s2 * c2)
+                        raw = (want - base) / delta if delta else 0.0
+                        signed = max(-8, min(7, int(round(raw))))
+                        nib = signed & 0x0F
+                        new, delta = _ms_nibble(nib, s1, s2, delta, c1, c2)
+                        err += (want - new) ** 2
+                        s2, s1 = s1, new
+                        nibs.append(nib)
+                    if cand is None or err < cand[0]:
+                        cand = (err, k_, init_delta, nibs)
+                best.append(cand)
+            for ch_ in range(channels):
+                blocks += bytes([best[ch_][1]])
+            for ch_ in range(channels):
+                blocks += struct.pack("<h", best[ch_][2])
+            for ch_ in range(channels):
+                blocks += struct.pack("<h", int(blk[1, ch_]))
+            for ch_ in range(channels):
+                blocks += struct.pack("<h", int(blk[0, ch_]))
+            # channel-interleaved codes, high nibble first
+            flat = [best[ch_][3][t] for t in range(spb - 2) for ch_ in range(channels)]
+            for i in range(0, len(flat), 2):
+                blocks += bytes([(flat[i] << 4) | flat[i + 1]])
+        data = bytes(blocks)
+        tag = _WAV_MS_ADPCM
+        bits = 4
+        block = 7 * channels + (spb - 2) * channels // 2
     elif bits == 8:
         data = (np.round(vals * 127) + 128).astype(np.uint8).tobytes()
         tag = _WAV_PCM
@@ -1059,6 +1230,12 @@ def make_wav(
         ) + guid
     else:
         fmt_body = struct.pack("<HHIIHH", tag, channels, rate, rate * block, block, bits)
+        if tag == _WAV_MS_ADPCM:
+            spb_hdr = (block - 7 * channels) * 2 // channels + 2
+            ext = struct.pack("<HH", spb_hdr, len(_MS_COEFS))
+            for c1, c2 in _MS_COEFS:
+                ext += struct.pack("<hh", c1, c2)
+            fmt_body += struct.pack("<H", len(ext)) + ext
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
         + b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
@@ -1238,7 +1415,7 @@ def synth_media(spark, n: int = 64):
                 # corrupt: claims RIFF/WAVE but the data chunk is truncated
                 payload = make_wav(64, seed=i)[:40]
             elif i % 5 == 0:
-                bits, fmt = ((8, "pcm"), (16, "pcm"), (24, "pcm"), (32, "float"))[(i // 15) % 4]
+                bits, fmt = ((8, "pcm"), (16, "pcm"), (24, "pcm"), (32, "float"), (8, "mulaw"), (8, "alaw"), (4, "ima_adpcm"), (4, "ms_adpcm"))[(i // 15) % 8]
                 payload = make_wav(
                     32 + i * 3, rate=8000 + 100 * i, channels=1 + i % 2,
                     seed=i, bits=bits, fmt=fmt,

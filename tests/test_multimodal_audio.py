@@ -127,10 +127,15 @@ def test_wav_corruption_matrix():
     struct.pack_into("<I", bad, data_off + 4, struct.unpack_from("<I", good, data_off + 4)[0] - 1)
     with pytest.raises(M.CorruptAudio):
         M._wav_samples(bytes(bad))
-    # MS-ADPCM format tag (0x0002, parameterized predictor — unlike
-    # IMA 0x0011 which r05 decodes): honest DecodeUnavailable
+    # a PCM stream relabeled MS-ADPCM (0x0002, decoded for real since
+    # r05) carries an impossible 16-bit claim — corrupt, not unavailable
     bad = bytearray(good)
     struct.pack_into("<H", bad, 12 + 8, 0x0002)
+    with pytest.raises(M.CorruptAudio, match="4 bits"):
+        M._wav_samples(bytes(bad))
+    # a genuinely absent codec (0x0055 = MP3-in-WAV): honest stub
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 12 + 8, 0x0055)
     with pytest.raises(M.DecodeUnavailable):
         M._wav_samples(bytes(bad))
     # not a WAV at all (MP3 magic): absent codec
@@ -173,13 +178,15 @@ def test_audio_envelope_exact():
 
 def test_wav_real_decode_in_distributed_path(spark):
     """synth_media's every-5th audio rows carry real WAVs (rotating
-    widths); through mapInPandas they must produce REAL features
-    (sample-rate prefix), corrupt WAVs must quarantine as CorruptAudio,
-    and opaque audio bytes must keep the digest fake."""
-    media = M.synth_media(spark, n=64)
+    widths AND codecs — r05 extends the rotation to G.711 and both
+    ADPCM families, which need media_id ≥ 70 to appear); through
+    mapInPandas they must produce REAL features (sample-rate prefix),
+    corrupt WAVs must quarantine as CorruptAudio, and opaque audio
+    bytes must keep the digest fake."""
+    media = M.synth_media(spark, n=128)
     out = {r.media_id: r for r in M.featurize(media, partitions=8).collect()}
     real = corrupt = fake = 0
-    for i in range(64):
+    for i in range(128):
         if not (i % 16) or i % 3 != 1:
             continue
         r = out[i]
@@ -188,7 +195,7 @@ def test_wav_real_decode_in_distributed_path(spark):
             corrupt += 1
         elif i % 5 == 0:
             assert r.decode_error is None
-            bits, fmt = ((8, "pcm"), (16, "pcm"), (24, "pcm"), (32, "float"))[(i // 15) % 4]
+            bits, fmt = ((8, "pcm"), (16, "pcm"), (24, "pcm"), (32, "float"), (8, "mulaw"), (8, "alaw"), (4, "ima_adpcm"), (4, "ms_adpcm"))[(i // 15) % 8]
             want = M.audio_feature(
                 M.make_wav(32 + i * 3, rate=8000 + 100 * i, channels=1 + i % 2,
                            seed=i, bits=bits, fmt=fmt)
@@ -200,14 +207,14 @@ def test_wav_real_decode_in_distributed_path(spark):
             assert r.decode_error is None
             assert all(0.0 <= x <= 1.0 for x in r.feature)  # digest fake
             fake += 1
-    assert real >= 3 and corrupt >= 1 and fake >= 3
+    assert real >= 7 and corrupt >= 1 and fake >= 3
 
 
 def test_envelope_distributed_with_quarantine(spark):
     """The envelope stage mirrors resize: only audio rows appear, real
     WAVs get exact envelopes, corrupt WAVs quarantine, opaque bytes
     are honest DecodeUnavailable."""
-    media = M.synth_media(spark, n=64)
+    media = M.synth_media(spark, n=128)
     out = {r.media_id: r for r in M.envelope(media, n_windows=6, partitions=8).collect()}
     assert all(i % 3 == 1 for i in out)
     real = corrupt = 0
@@ -219,7 +226,7 @@ def test_envelope_distributed_with_quarantine(spark):
             corrupt += 1
         elif i % 5 == 0:
             assert r.decode_error is None
-            bits, fmt = ((8, "pcm"), (16, "pcm"), (24, "pcm"), (32, "float"))[(i // 15) % 4]
+            bits, fmt = ((8, "pcm"), (16, "pcm"), (24, "pcm"), (32, "float"), (8, "mulaw"), (8, "alaw"), (4, "ima_adpcm"), (4, "ms_adpcm"))[(i // 15) % 8]
             rate, ch, n, env = M.audio_envelope(
                 M.make_wav(32 + i * 3, rate=8000 + 100 * i, channels=1 + i % 2,
                            seed=i, bits=bits, fmt=fmt),

@@ -1,12 +1,14 @@
-"""G.711 a-law/μ-law and IMA/DVI ADPCM WAV decode (r05 codec breadth):
-the two compressed-audio families that are pure table/formula codecs —
-no library needed — now decode for real instead of DecodeUnavailable.
+"""G.711 a-law/μ-law, IMA/DVI ADPCM and Microsoft ADPCM WAV decode
+(r05 codec breadth): the compressed-audio families that are pure
+table/formula codecs — no library needed — now decode for real instead
+of DecodeUnavailable.
 
 Ground truth comes from scalar reference implementations transcribed
 here directly from the published algorithms (g711.c expansion; the IMA
-reference quantizer), independent of the vectorized/table production
-path — plus nearest-code / greedy-encoder round-trips with quantization
-bounds derived from the codecs' largest step sizes.
+reference quantizer; the RIFF-spec MS ADPCM predictor), independent of
+the vectorized/table production path — plus nearest-code /
+greedy-encoder round-trips with quantization bounds derived from the
+codecs' largest step sizes.
 """
 
 import struct
@@ -230,11 +232,9 @@ def test_extensible_wrapping_decodes_identically(fmt):
     assert (a == b).all()
 
 
-def test_ms_adpcm_and_unknown_guid_stay_unavailable():
-    """MS-ADPCM (0x0002) has a genuinely different, parameterized
-    predictor — still an honest stub; so is an unknown extensible GUID."""
-    with pytest.raises(M.DecodeUnavailable, match="0x0002"):
-        M._wav_samples(_raw_wav(0x0002, 1, 8000, 4, 256, bytes(256)))
+def test_unknown_guid_stays_unavailable():
+    """An unknown extensible GUID is still an honest stub (MS-ADPCM
+    itself decodes for real since r05 — see the section below)."""
     guid = struct.pack("<H", 0x0011) + b"\xde\xad" + M._KS_SUFFIX[2:]
     fmt_body = struct.pack(
         "<HHIIHHHHI", 0xFFFE, 1, 8000, 8000, 1, 8, 22, 8, 0
@@ -265,3 +265,128 @@ def test_decode_audio_features_and_distributed_path(spark):
     for i in range(3):
         assert feats[i].decode_error is None
         assert feats[i].feature[0] == 16000.0  # leads with the real rate
+
+
+# ---- Microsoft ADPCM (r05) ------------------------------------------------
+
+_MS_ADAPT_REF = (230, 230, 230, 230, 307, 409, 512, 614,
+                 768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEFS_REF = ((256, 0), (512, -256), (0, 0), (192, 64),
+                 (240, 0), (460, -208), (392, -232))
+
+
+def _ms_ref_decode(data: bytes, channels: int, block_align: int):
+    """Scalar MS ADPCM reference decoder — an independent transcription
+    of the RIFF-spec algorithm (C-truncating /256 predictor, signed
+    nibble * delta correction, adaptation-table delta update with the
+    16 floor), high nibble first, channel-interleaved per frame."""
+    frames = []
+    hdr = 7 * channels
+    for boff in range(0, len(data), block_align):
+        ks = [data[boff + c] for c in range(channels)]
+        deltas = [struct.unpack_from("<h", data, boff + channels + 2 * c)[0]
+                  for c in range(channels)]
+        s1 = [struct.unpack_from("<h", data, boff + 3 * channels + 2 * c)[0]
+              for c in range(channels)]
+        s2 = [struct.unpack_from("<h", data, boff + 5 * channels + 2 * c)[0]
+              for c in range(channels)]
+        chans = [[s2[c], s1[c]] for c in range(channels)]
+        nibs = []
+        for byte in data[boff + hdr : boff + block_align]:
+            nibs.append(byte >> 4)
+            nibs.append(byte & 0x0F)
+        for f in range(len(nibs) // channels):
+            for c in range(channels):
+                nib = nibs[f * channels + c]
+                c1, c2 = _MS_COEFS_REF[ks[c]]
+                q = s1[c] * c1 + s2[c] * c2
+                base = q // 256 if q >= 0 else -((-q) // 256)  # C trunc
+                signed = nib - 16 if nib >= 8 else nib
+                pred = max(-32768, min(32767, base + signed * deltas[c]))
+                deltas[c] = max(16, (_MS_ADAPT_REF[nib] * deltas[c]) // 256)
+                s2[c], s1[c] = s1[c], pred
+                chans[c].append(pred)
+        frames.append(np.array(chans, dtype=np.float64).T / 32768.0)
+    return np.concatenate(frames, axis=0)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_ms_adpcm_decode_matches_scalar_reference(channels):
+    wav = M.make_wav(75, channels=channels, fmt="ms_adpcm", seed=9)
+    data, block = _wav_data_chunk(wav)
+    _, _, got = M._wav_samples(wav)
+    want = _ms_ref_decode(data, channels, block)
+    assert got.shape == want.shape
+    assert (got == want).all()  # int16/32768 is exact in float64
+
+
+def test_ms_adpcm_roundtrip_tracks_signal():
+    """Lossy round-trip: exact on the two header samples of every
+    16-sample block, mean error bounded; the only large errors sit at
+    the ramp's full-scale wrap discontinuities (delta must re-adapt)."""
+    n = 100
+    wav = M.make_wav(n, channels=1, fmt="ms_adpcm", seed=5)
+    _, _, got = M._wav_samples(wav)
+    s = np.arange(n)[:, None]
+    want = ((5 + 7 * s) % 509 - 254) / 254.0
+    err = np.abs(got[:n, 0] - want[:, 0])
+    assert err.mean() < 0.03
+    # block headers carry the first two samples verbatim (quantized)
+    for b0 in range(0, n - 1, 16):
+        assert err[b0] < 1 / 254 and err[b0 + 1] < 1 / 254
+
+
+def test_ms_adpcm_predictor_choice_exercised():
+    """The greedy encoder tries all 7 coefficient pairs; across blocks
+    of a varied signal more than one predictor must win at least once
+    (guards against the selection loop silently collapsing to pair 0)."""
+    wav = M.make_wav(16 * 12, channels=1, fmt="ms_adpcm", seed=3)
+    data, block = _wav_data_chunk(wav)
+    preds = {data[boff] for boff in range(0, len(data), block)}
+    assert len(preds) > 1, preds
+
+
+def test_ms_adpcm_extensible_defaults_to_spec_coefs():
+    plain = M.make_wav(34, channels=2, fmt="ms_adpcm", seed=1)
+    wrapped = M.make_wav(34, channels=2, fmt="ms_adpcm", seed=1, extensible=True)
+    _, _, a = M._wav_samples(plain)
+    _, _, b = M._wav_samples(wrapped)
+    assert (a == b).all()
+
+
+def test_ms_adpcm_violations_quarantine():
+    good = M.make_wav(32, channels=1, fmt="ms_adpcm", seed=2)
+    data, block = _wav_data_chunk(good)
+    ext = struct.pack("<HHH", 32, 16, len(_MS_COEFS_REF))
+    for c1, c2 in _MS_COEFS_REF:
+        ext += struct.pack("<hh", c1, c2)
+    # predictor index past the coefficient table
+    bad = bytearray(data)
+    bad[0] = 7
+    with pytest.raises(M.CorruptAudio, match="predictor index"):
+        M._wav_samples(_raw_wav(0x0002, 1, 8000, 4, block, bytes(bad), ext))
+    # partial trailing block
+    with pytest.raises(M.CorruptAudio, match="whole number"):
+        M._wav_samples(_raw_wav(0x0002, 1, 8000, 4, block, data[:-3], ext))
+    # block align smaller than the per-channel header
+    with pytest.raises(M.CorruptAudio, match="block align too small"):
+        M._wav_samples(_raw_wav(0x0002, 1, 8000, 4, 7, data[:7], ext))
+    # declared samples-per-block disagrees with the block align
+    bad_ext = struct.pack("<HHH", 32, 99, len(_MS_COEFS_REF)) + ext[6:]
+    with pytest.raises(M.CorruptAudio, match="samples-per-block"):
+        M._wav_samples(_raw_wav(0x0002, 1, 8000, 4, block, data, bad_ext))
+    # cbSize smaller than the declared coefficient table
+    with pytest.raises(M.CorruptAudio, match="coefficient table"):
+        M._wav_samples(_raw_wav(0x0002, 1, 8000, 4, block, data,
+                                struct.pack("<HHH", 8, 16, 7) + ext[6:10]))
+    # wrong bits-per-sample claim
+    with pytest.raises(M.CorruptAudio, match="4 bits"):
+        M._wav_samples(_raw_wav(0x0002, 1, 8000, 8, block, data, ext))
+
+
+def test_ms_adpcm_decode_audio_features():
+    rate, ch, n, dur, rms, peak, zcr = M.decode_audio(
+        M.make_wav(64, channels=2, rate=22050, fmt="ms_adpcm", seed=4)
+    )
+    assert (rate, ch, n) == (22050, 2, 64)
+    assert 0 < rms <= peak <= 1.0 and abs(dur - 64 / 22050) < 1e-9
