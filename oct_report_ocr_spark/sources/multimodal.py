@@ -12,7 +12,9 @@ IHDR shape: gray/RGB/palette/gray+alpha/RGBA, bit depths 1/2/4/8/16,
 non-interlaced and Adam7 — pure stdlib zlib + full filter
 reconstruction incl. Paeth), JPEG (baseline SOF0/SOF1 AND progressive
 SOF2, 8-bit, gray/4:4:4/4:2:2/4:2:0, restart markers —
-sources/jpeg.py, stdlib + numpy) and WAV (RIFF PCM 8/16/24/32-bit +
+sources/jpeg.py, stdlib + numpy), GIF (87a/89a LZW incl. interlace,
+transparency and multi-frame animation — sources/gif.py, feeding both
+decode_image and the frame-sample path) and WAV (RIFF PCM 8/16/24/32-bit +
 IEEE float 32/64-bit + G.711 a-law/mu-law + IMA ADPCM + MS ADPCM
 incl. WAVE_FORMAT_EXTENSIBLE — real chunk walk) are REAL; formats whose
 codecs are genuinely absent from this container (WebP,
@@ -317,6 +319,20 @@ def _decode_png(b: bytes) -> tuple[int, int, float, float, float]:
     return w, h, float(means[0]), float(means[1]), float(means[2])
 
 
+def _decode_gif_means(b: bytes) -> tuple[int, int, float, float, float]:
+    """First composited GIF frame → (w, h, mean RGB); GifError maps to
+    the shared quarantine class."""
+    from oct_report_ocr_spark.sources import gif as _gif
+
+    try:
+        arr = _gif.decode_gif(b)
+    except _gif.GifError as e:
+        raise CorruptImage(str(e)) from e
+    h, w = arr.shape[0], arr.shape[1]
+    means = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
 def _decode_jpeg_means(b: bytes) -> tuple[int, int, float, float, float]:
     """Baseline JPEG → (width, height, mean RGB), same feature contract
     as the other kernels; error classes mapped to the shared
@@ -340,9 +356,11 @@ def decode_image(content: bytes) -> tuple[int, int, float, float, float]:
     uncompressed BMP (24bpp BI_RGB), binary PPM (P6), PNG (8-bit
     gray/RGB/RGBA, non-interlaced; zlib + full filter reconstruction
     incl. Paeth) and JPEG (baseline SOF0/SOF1 + progressive SOF2,
-    8-bit, gray/4:4:4/4:2:2/4:2:0, restart markers; sources/jpeg.py) →
-    (width, height, mean_r, mean_g, mean_b). Remaining formats
-    (WebP, lossless/arithmetic JPEG, audio/video codecs) raise
+    8-bit, gray/4:4:4/4:2:2/4:2:0, restart markers; sources/jpeg.py)
+    and GIF (87a/89a LZW incl. interlace and transparency;
+    sources/gif.py) → (width, height, mean_r, mean_g, mean_b).
+    Remaining formats (WebP, lossless/arithmetic JPEG,
+    audio/video codecs) raise
     DecodeUnavailable; the Spark-side plumbing treats both exception
     classes identically (fake-feature fallback vs quarantine is the
     caller's choice)."""
@@ -354,6 +372,8 @@ def decode_image(content: bytes) -> tuple[int, int, float, float, float]:
         return _decode_png(content)
     if content[:2] == b"\xff\xd8":
         return _decode_jpeg_means(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif_means(content)
     if _sniff_kind(content) == "audio":
         # cross-kind confusion (VERDICT r04 item 7): a recognized WAV in
         # an image row is mislabeled data, not a missing codec — it must
@@ -370,6 +390,7 @@ def _sniff_kind(b: bytes) -> str | None:
     if (
         b[:2] in (b"BM", b"P6", b"\xff\xd8")
         or b[:8] == _PNG_MAGIC
+        or b[:6] in (b"GIF87a", b"GIF89a")
     ):
         return "image"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -479,6 +500,13 @@ def _decode_rgb_array(b: bytes):
         if arr.shape[2] <= 2:  # gray / gray+alpha → replicate to RGB
             return np.repeat(arr[:, :, :1], 3, axis=2)
         return arr[:, :, :3]  # RGBA drops alpha; palette already mapped
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from oct_report_ocr_spark.sources import gif as _gif
+
+        try:
+            return _gif.decode_gif(b)
+        except _gif.GifError as e:
+            raise CorruptImage(str(e)) from e
     if b[:2] == b"\xff\xd8":
         from oct_report_ocr_spark.sources import jpeg as _jpeg
 
@@ -594,6 +622,19 @@ def sample_frames(content: bytes, every_k: int) -> list[tuple[int, int, int, byt
     including frame 0) as (frame_idx, w, h, P6 bytes)."""
     import struct
 
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF: the one real web video-ish container this
+        # environment can decode end-to-end (sources/gif.py)
+        from oct_report_ocr_spark.sources import gif as _gif
+
+        try:
+            frames, w, h = _gif.decode_gif_frames(content)
+        except _gif.GifError as e:
+            raise CorruptImage(str(e)) from e
+        return [
+            (idx, w, h, f"P6\n{w} {h}\n255\n".encode() + frames[idx].tobytes())
+            for idx in range(0, len(frames), max(every_k, 1))
+        ]
     if content[:4] != FVID_MAGIC:
         raise DecodeUnavailable("video codec libraries not present in this environment")
     if len(content) < 10:
@@ -1390,16 +1431,54 @@ def make_jpeg_progressive(w: int, h: int, seed: int = 0, subsampling: str = "420
     return encode_jpeg_progressive(arr, subsampling=subsampling)
 
 
+def make_gif(w: int, h: int, seed: int = 0, interlace: bool = False) -> bytes:
+    """Deterministic single-frame GIF for tests: pixels index a 64-color
+    closed-form palette, so the lossless decode has an exact oracle."""
+    import numpy as np
+
+    from oct_report_ocr_spark.sources.gif import encode_gif
+
+    pal = np.array(
+        [[(13 * k) % 256, (29 * k + 7) % 256, (53 * k + 3) % 256] for k in range(64)],
+        dtype=np.uint8,
+    )
+    idx = np.frombuffer(
+        bytes((seed + i) % 64 for i in range(w * h)), dtype=np.uint8
+    ).reshape(h, w)
+    return encode_gif(pal[idx], interlace=interlace)
+
+
+def make_gif_video(w: int, h: int, n_frames: int, seed: int = 0) -> bytes:
+    """Deterministic animated GIF for tests — the frame-sample analogue
+    of make_fvid, with per-frame distinct palette-index ramps."""
+    import numpy as np
+
+    from oct_report_ocr_spark.sources.gif import encode_gif_frames
+
+    pal = np.array(
+        [[(13 * k) % 256, (29 * k + 7) % 256, (53 * k + 3) % 256] for k in range(64)],
+        dtype=np.uint8,
+    )
+    frames = [
+        pal[np.frombuffer(
+            bytes((seed + f * 17 + i) % 64 for i in range(w * h)), dtype=np.uint8
+        ).reshape(h, w)]
+        for f in range(n_frames)
+    ]
+    return encode_gif_frames(frames)
+
+
 def synth_media(spark, n: int = 64):
     """Deterministic fake media table for tests (binary payload sizes
     deliberately skewed, one empty payload per 16). Every 5th image row
-    carries a REAL decodable payload (rotating BMP/PPM/PNG/baseline-JPEG/progressive-JPEG) so the
+    carries a REAL decodable payload (rotating
+    BMP/PPM/PNG/baseline-JPEG/progressive-JPEG/GIF) so the
     real decode kernel is exercised in the distributed path; every 13th
     image row is a corrupt BMP (quarantine path). Audio rows mirror the
     scheme with WAV payloads (rotating 8/16/24-bit PCM and 32-bit
     float / truncated-chunk corrupt / opaque bytes), and video rows
-    with FV01 containers (real frame-sample path / corrupt container /
-    opaque bytes)."""
+    with FV01 containers and animated GIFs (real frame-sample paths /
+    corrupt container / opaque bytes)."""
     rows = []
     for i in range(n):
         size = (i * 977) % 4096 + (8192 if i % 11 == 0 else 0)
@@ -1408,7 +1487,7 @@ def synth_media(spark, n: int = 64):
             if i % 13 == 0:
                 payload = b"BM" + payload[:40]  # corrupt: truncated header
             elif i % 5 == 0:
-                maker = (make_bmp, make_ppm, make_png, make_jpeg, make_jpeg_progressive)[(i // 15) % 5]
+                maker = (make_bmp, make_ppm, make_png, make_jpeg, make_jpeg_progressive, make_gif)[(i // 15) % 6]
                 payload = maker(8 + i % 16, 4 + i % 8, seed=i)
         if i % 16 and i % 3 == 1:  # kind == "audio" rows
             if i % 13 == 0:
@@ -1425,7 +1504,8 @@ def synth_media(spark, n: int = 64):
                 # corrupt: claims FV01 but frame data truncated
                 payload = make_fvid(4, 4, 6, seed=i)[:24]
             elif i % 5 == 0:
-                payload = make_fvid(4 + i % 8, 2 + i % 4, 5 + i % 7, seed=i)
+                vmaker = (make_fvid, make_gif_video)[(i // 15) % 2]
+                payload = vmaker(4 + i % 8, 2 + i % 4, 5 + i % 7, seed=i)
         kind = ("image", "audio", "video")[i % 3]
         rows.append(
             (

@@ -50,7 +50,8 @@ def test_multimodal_real_decode_in_distributed_path(spark):
                 multimodal.make_png,
                 multimodal.make_jpeg,
                 multimodal.make_jpeg_progressive,
-            )[(i // 15) % 5]
+                multimodal.make_gif,
+            )[(i // 15) % 6]
             payload = maker(w, h, seed=i)
             want = multimodal.image_feature(payload)
             # array<float> is float32 — compare at float32 precision
@@ -115,7 +116,8 @@ def test_resize_distributed_with_quarantine(spark):
                 multimodal.make_png,
                 multimodal.make_jpeg,
                 multimodal.make_jpeg_progressive,
-            )[(i // 15) % 5]
+                multimodal.make_gif,
+            )[(i // 15) % 6]
             want = multimodal.resize_image(
                 maker(8 + i % 16, 4 + i % 8, seed=i), 4, 4
             )
@@ -128,9 +130,10 @@ def test_resize_distributed_with_quarantine(spark):
 
 
 def test_frame_sample_distributed(spark):
-    """Explode-shaped frame sampling: real FV01 videos yield one row per
-    sampled frame (every_k incl. frame 0) with correct pixel bytes;
-    corrupt containers and opaque payloads yield quarantine rows."""
+    """Explode-shaped frame sampling: real FV01 videos AND animated
+    GIFs (rotating) yield one row per sampled frame (every_k incl.
+    frame 0) with correct pixel bytes; corrupt containers and opaque
+    payloads yield quarantine rows."""
     media = multimodal.synth_media(spark, n=64)
     rows = multimodal.frame_sample(media, every_k=2, partitions=8).collect()
     by_id: dict = {}
@@ -146,7 +149,8 @@ def test_frame_sample_distributed(spark):
             corrupt += 1
         elif i % 5 == 0:
             w, h, n = 4 + i % 8, 2 + i % 4, 5 + i % 7
-            want = multimodal.sample_frames(multimodal.make_fvid(w, h, n, seed=i), 2)
+            vmaker = (multimodal.make_fvid, multimodal.make_gif_video)[(i // 15) % 2]
+            want = multimodal.sample_frames(vmaker(w, h, n, seed=i), 2)
             got = sorted(rs, key=lambda r: r.frame_idx)
             assert [r.frame_idx for r in got] == [x[0] for x in want] == list(range(0, n, 2))
             assert all((r.width, r.height) == (w, h) for r in got)
