@@ -152,3 +152,41 @@ def test_gif_video_frame_sampling():
 def test_gif_in_audio_row_quarantines():
     with pytest.raises(M.CorruptAudio, match="image payload"):
         M._wav_samples(M.make_gif(4, 4, seed=1))
+
+
+# ---- property tests: the LZW kernel itself --------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    min_code_size=st.integers(2, 8),
+)
+def test_lzw_roundtrip_property(data, min_code_size):
+    """encode∘decode is the identity for any index stream whose symbols
+    fit the root-code alphabet — including streams long enough to grow
+    the code width and overflow the 4096-entry dictionary."""
+    from oct_report_ocr_spark.sources.gif import _lzw_decode, _lzw_encode
+
+    alphabet = 1 << min_code_size
+    indices = data.draw(
+        st.lists(st.integers(0, alphabet - 1), min_size=1, max_size=3000)
+    )
+    stream = _lzw_encode(indices, min_code_size)
+    out = _lzw_decode(stream, min_code_size, len(indices))
+    assert list(out) == indices
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ncolors=st.integers(2, 256),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_image_roundtrip_property(h, w, ncolors, interlace, seed):
+    img = _img(h, w, ncolors, seed)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
